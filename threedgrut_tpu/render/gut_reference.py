@@ -1,0 +1,165 @@
+"""Naive O(N * pixels) reference implementation of the 3DGUT renderer.
+
+This is the correctness oracle for the fast Pallas path: mathematically
+identical semantics (UT projection for binning/sort order, exact 3D ray-space
+alpha, global-z compositing order, per-tile culling, transmittance early-out),
+expressed as dense jnp so it is runnable on CPU, fully differentiable by
+plain JAX autodiff, and independently testable.
+
+Reference call stack mirrored: threedgut_tracer/src/gutRenderer.cu:241-398
+(project -> expand -> sort -> render), with the per-ray math of
+threedgut_tracer/include/3dgut/kernels/slang/models/gaussianParticles.slang.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from threedgrut_tpu import constants as C
+from threedgrut_tpu.cameras import (
+    Camera,
+    FisheyeCamera,
+    PinholeCamera,
+    SensorPose,
+    ShutterType,
+    fisheye_camera_rays,
+    pinhole_camera_rays,
+)
+from threedgrut_tpu.ops import particles as particle_ops
+from threedgrut_tpu.ops import projection as proj_ops
+from threedgrut_tpu.ops import sh as sh_ops
+from threedgrut_tpu.ops.compositing import composite
+from threedgrut_tpu.ops import quaternion
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray           # [H, W, 3] pre-background radiance
+    opacity: jnp.ndarray       # [H, W]
+    depth: jnp.ndarray         # [H, W]
+    transmittance: jnp.ndarray  # [H, W]
+    hit_count: jnp.ndarray     # [H, W]
+    visibility: jnp.ndarray    # [N] bool — particle contributed this frame
+
+
+def camera_center_world(pose: SensorPose) -> jnp.ndarray:
+    """World position of the (start-pose) camera center: -R^T t."""
+    q_inv = jnp.stack([pose.q_start[0], -pose.q_start[1],
+                       -pose.q_start[2], -pose.q_start[3]])
+    return -quaternion.rotate(quaternion.normalize(q_inv), pose.t_start)
+
+
+def camera_space_rays(cam: Camera, resolution: Tuple[int, int]):
+    if isinstance(cam, PinholeCamera):
+        return pinhole_camera_rays(cam, resolution)
+    if isinstance(cam, FisheyeCamera):
+        return fisheye_camera_rays(cam, resolution)
+    raise TypeError(type(cam))
+
+
+def precomputed_features(positions, features, cam_center, sh_degree: int,
+                         clamped: bool = False):
+    """Per-particle SH radiance toward the sensor center (the reference's
+    PerRayParticleFeatures=false path, gutProjector.cuh:306-310). Unclamped
+    here; clamped at compositing time (gutKBufferRenderer.cuh:160-165)."""
+    d = positions - cam_center
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    return sh_ops.radiance_from_sh(sh_degree, features, d, clamped=clamped)
+
+
+def render(
+    positions: jnp.ndarray,    # [N, 3]
+    quats: jnp.ndarray,        # [N, 4] normalized
+    scales: jnp.ndarray,       # [N, 3] post-activation
+    opacities: jnp.ndarray,    # [N] post-activation
+    features: jnp.ndarray,     # [N, K, 3] SH coefficients
+    cam: Camera,
+    pose: SensorPose,
+    resolution: Tuple[int, int],
+    shutter: ShutterType = ShutterType.GLOBAL,
+    sh_degree: int = 3,
+    kernel_degree: int = C.KERNEL_DEGREE_3DGUT,
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT,
+    tile_culling: bool = True,
+    T_to_world: jnp.ndarray | None = None,
+) -> RenderOutputs:
+    """Render one frame, evaluating every particle against every pixel.
+
+    `T_to_world` optionally overrides the camera-to-world used for ray
+    generation (must be consistent with `pose`); rays always start at the
+    camera center with camera-model directions.
+    """
+    w, h = resolution
+    n = positions.shape[0]
+
+    proj = proj_ops.project(positions, quats, scales, opacities, cam, pose,
+                            shutter, resolution)
+
+    cam_center = camera_center_world(pose)
+    colors = precomputed_features(positions, features, cam_center, sh_degree)
+
+    # Depth-sort all particles (global z order). Invalid particles sort last.
+    sort_depth = jnp.where(proj.valid & (proj.n_tiles > 0), proj.depth, jnp.inf)
+    order = jnp.argsort(sort_depth)
+
+    # Rays: camera space -> world.
+    ray_o_c, ray_d_c = camera_space_rays(cam, resolution)
+    if T_to_world is None:
+        q_inv = jnp.stack([pose.q_start[0], -pose.q_start[1],
+                           -pose.q_start[2], -pose.q_start[3]])
+        q_inv = quaternion.normalize(q_inv)
+        R = quaternion.to_rotation_matrix(q_inv)
+        t = cam_center
+    else:
+        R = T_to_world[:3, :3]
+        t = T_to_world[:3, 3]
+    ray_o = ray_o_c.reshape(-1, 3) @ R.T + t       # [P, 3]
+    ray_d = ray_d_c.reshape(-1, 3) @ R.T           # [P, 3]
+    n_pix = ray_o.shape[0]
+
+    # Pixel -> tile coordinates.
+    px = jnp.arange(w, dtype=jnp.int32)
+    py = jnp.arange(h, dtype=jnp.int32)
+    gx, gy = jnp.meshgrid(px, py, indexing="xy")
+    tile_x = (gx // C.TILE_X).reshape(-1)          # [P]
+    tile_y = (gy // C.TILE_Y).reshape(-1)
+
+    # Particle-in-tile mask per (pixel, particle): bbox + power culling.
+    tmin = proj.tile_min[order]                     # [N, 2]
+    tmax = proj.tile_max[order]
+    in_bbox = ((tile_x[:, None] >= tmin[None, :, 0])
+               & (tile_x[:, None] < tmax[None, :, 0])
+               & (tile_y[:, None] >= tmin[None, :, 1])
+               & (tile_y[:, None] < tmax[None, :, 1]))
+    if tile_culling:
+        tile_xy = jnp.stack([tile_x, tile_y], axis=-1).astype(jnp.float32)
+        power = proj_ops.tile_min_power_response(
+            tile_xy[:, None, :], proj.conic[order][None, :, :],
+            proj.center[order][None, :, :])
+        in_bbox &= power < proj.max_power[order][None, :]
+    active = in_bbox & proj.valid[order][None, :] & (proj.n_tiles[order] > 0)[None, :]
+
+    # Exact 3D ray-space alpha for every (pixel, particle) pair via broadcasting.
+    hit = particle_ops.particle_hit(
+        positions[order][None, :, :], quats[order][None, :, :],
+        scales[order][None, :, :], opacities[order][None, :],
+        ray_o[:, None, :], ray_d[:, None, :], kernel_degree)
+
+    alphas = jnp.where(active, hit.alpha, 0.0)     # [P, N]
+    pair_colors = jnp.maximum(colors[order], 0.0)  # [N, 3] clamp at use
+    pair_colors = jnp.broadcast_to(pair_colors[None], (n_pix, n, 3))
+
+    res = composite(alphas, pair_colors, hit.hit_t, min_transmittance)
+
+    # Per-particle visibility: contributed to any pixel (weight > 0).
+    contributed_sorted = jnp.any(res.weights > 0.0, axis=0)
+    visibility = jnp.zeros((n,), bool).at[order].set(contributed_sorted)
+
+    return RenderOutputs(
+        rgb=res.rgb.reshape(h, w, 3),
+        opacity=res.opacity.reshape(h, w),
+        depth=res.depth.reshape(h, w),
+        transmittance=res.transmittance.reshape(h, w),
+        hit_count=res.hit_count.reshape(h, w),
+        visibility=visibility,
+    )
