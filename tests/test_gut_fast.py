@@ -1,0 +1,101 @@
+"""Fast (Pallas, interpret-mode on CPU) renderer vs. the jnp oracle:
+images and gradients must match allclose."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threedgrut_tpu.cameras import ShutterType
+from threedgrut_tpu.render import gut, gut_reference
+from tests.test_cameras import IDENTITY_POSE, make_pinhole
+from tests.test_gut_reference import random_scene
+
+RES = (32, 32)
+CAM = make_pinhole(f=60.0, cx=16.0, cy=16.0)
+
+
+def render_both(scene, isect_cap=4096, **kw):
+    pos, quat, scale, opa, feats = scene
+    ref = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                               IDENTITY_POSE, RES, **kw)
+    fast, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
+                                IDENTITY_POSE, RES, isect_cap, **kw)
+    assert not bool(overflow)
+    return ref, fast
+
+
+def test_forward_matches_oracle():
+    ref, fast = render_both(random_scene(n=64, seed=5))
+    np.testing.assert_allclose(fast.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(fast.opacity, ref.opacity, atol=2e-5)
+    np.testing.assert_allclose(fast.transmittance, ref.transmittance, atol=2e-5)
+    np.testing.assert_allclose(fast.depth, ref.depth, atol=1e-4)
+    np.testing.assert_allclose(fast.hit_count, ref.hit_count, atol=0.5)
+
+
+def test_forward_matches_oracle_degree4():
+    ref, fast = render_both(random_scene(n=48, seed=9), kernel_degree=4)
+    np.testing.assert_allclose(fast.rgb, ref.rgb, atol=2e-5)
+
+
+def test_forward_dense_occlusion():
+    # Heavier overlap: many near-opaque particles to exercise early-out.
+    pos, quat, scale, opa, feats = random_scene(n=96, seed=11, spread=0.15)
+    opa = jnp.minimum(opa * 1.2, 0.97)
+    ref, fast = render_both((pos, quat, scale, opa, feats))
+    np.testing.assert_allclose(fast.rgb, ref.rgb, atol=3e-5)
+    np.testing.assert_allclose(fast.transmittance, ref.transmittance,
+                               atol=2e-5)
+
+
+def test_gradients_match_oracle():
+    pos, quat, scale, opa, feats = random_scene(n=40, seed=7)
+    target = jnp.ones(RES[::-1] + (3,)) * 0.5
+
+    def loss_ref(pos, quat, scale, opa, feats):
+        out = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                                   IDENTITY_POSE, RES)
+        return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.opacity)
+
+    def loss_fast(pos, quat, scale, opa, feats):
+        out, _ = gut.render(pos, quat, scale, opa, feats, CAM,
+                            IDENTITY_POSE, RES, 4096)
+        return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.opacity)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(pos, quat, scale, opa,
+                                                        feats)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2, 3, 4))(pos, quat, scale,
+                                                          opa, feats)
+    names = ["positions", "quats", "scales", "opacities", "features"]
+    for name, a, b in zip(names, g_fast, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a)), name
+        scale_ref = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale_ref, rtol=2e-3,
+                                   err_msg=name)
+
+
+def test_transmittance_gradient():
+    # Gradient through the transmittance output (background compositing path).
+    pos, quat, scale, opa, feats = random_scene(n=24, seed=13)
+
+    def loss_ref(opa):
+        out = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                                   IDENTITY_POSE, RES)
+        return jnp.mean(out.transmittance)
+
+    def loss_fast(opa):
+        out, _ = gut.render(pos, quat, scale, opa, feats, CAM,
+                            IDENTITY_POSE, RES, 4096)
+        return jnp.mean(out.transmittance)
+
+    g_ref = jax.grad(loss_ref)(opa)
+    g_fast = jax.grad(loss_fast)(opa)
+    np.testing.assert_allclose(g_fast, g_ref, atol=1e-6, rtol=1e-3)
+
+
+def test_overflow_flag():
+    pos, quat, scale, opa, feats = random_scene(n=64, seed=5)
+    _, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
+                             IDENTITY_POSE, RES, 16)
+    assert bool(overflow)

@@ -1,0 +1,429 @@
+"""Pallas TPU tile compositor: the 3DGUT hot loop, forward and backward.
+
+TPU-native design (replaces gutKBufferRenderer.cuh + gutRenderer.cu render
+stage — cooperative shared-memory prefetch, warp ballots, atomics):
+
+  * Grid over 16x16 pixel tiles, executed sequentially ("arbitrary"), one
+    program per tile.
+  * The per-tile depth-sorted particle list is walked in chunks of 256 rows
+    DMA'd from HBM into VMEM (double-buffer-free v1; the DMA is overlapped by
+    Mosaic's default pipelining of the rays/out blocks).
+  * The per-ray sequential transmittance recurrence is reformulated as an
+    exclusive prefix sum of log(1 - alpha) computed by a strictly-lower-
+    triangular ones matmul on the MXU — no sequential per-hit loop, no warp
+    primitives.
+  * Per-particle gradients are written densely per sorted slot (no atomics)
+    and segment-summed outside by an XLA scatter-add — bitwise deterministic.
+
+The per-(ray, particle) alpha is the exact 3D ray-space response of
+ops/particles.py, evaluated from a packed per-particle row:
+  row = [A (9: world->canonical including 1/scale), mean (3), opacity (1),
+         rgb color (3)]  (16 floats)
+with u = A (o - mean), v = A d:
+  grayDist = |v x u|^2 / |v|^2 ;  alpha = min(0.99, opacity * resp(grayDist))
+  hitT = |v . u| / |v|^2  (the reference's scaled projection distance, for
+  unit-norm world ray directions).
+
+Rays are packed per tile as [num_tiles, 8, 256]: rows 0-2 origin xyz,
+rows 3-5 direction xyz (unit norm), rows 6-7 padding.
+Forward output is [num_tiles, 8, 256]: rows 0-2 rgb, 3 opacity, 4 depth,
+5 transmittance, 6 hit count, 7 padding.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from threedgrut_tpu import constants as C
+
+CHUNK = 256          # sorted-list rows per inner iteration
+PIX = C.TILE_SIZE    # 256 pixels per tile
+ROW_F = 16           # packed floats per particle
+
+
+def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
+    """Kernel response r(g) and dr/dg for static degree (g = grayDist)."""
+    s = C.GG_SCALE[degree]
+    if degree == 0:
+        sq = jnp.sqrt(jnp.maximum(g, 1e-12))
+        r = jnp.maximum(1.0 + s * sq, 0.0)
+        dr = jnp.where(r > 0.0, 0.5 * s / sq, 0.0)
+        return r, dr
+    if degree == 1:
+        sq = jnp.sqrt(jnp.maximum(g, 1e-12))
+        r = jnp.exp(s * sq)
+        return r, r * s * 0.5 / sq
+    if degree == 2:
+        r = jnp.exp(s * g)
+        return r, r * s
+    if degree == 3:
+        sq = jnp.sqrt(jnp.maximum(g, 1e-12))
+        r = jnp.exp(s * g * sq)
+        return r, r * s * 1.5 * sq
+    if degree == 4:
+        r = jnp.exp(s * g * g)
+        return r, r * s * 2.0 * g
+    if degree == 5:
+        sq = jnp.sqrt(jnp.maximum(g, 1e-12))
+        r = jnp.exp(s * g * g * sq)
+        return r, r * s * 2.5 * g * sq
+    if degree == 8:
+        g2 = g * g
+        r = jnp.exp(s * g2 * g2)
+        return r, r * s * 4.0 * g2 * g
+    raise ValueError(f"unsupported kernel degree {degree}")
+
+
+def _pair_quantities(S, rays, degree):
+    """Shared forward math for one chunk.
+
+    S: [CHUNK, ROW_F] packed rows; rays: [8, PIX] block.
+    Returns dict of [CHUNK, PIX] (and [CHUNK, 1]) arrays.
+    """
+    def comp(i):
+        return S[:, i:i + 1]  # [CHUNK, 1]
+
+    o = [rays[i, :][None, :] for i in range(3)]   # [1, PIX] each
+    d = [rays[3 + i, :][None, :] for i in range(3)]
+    p = [comp(9 + i) for i in range(3)]
+    w0 = [o[i] - p[i] for i in range(3)]          # o - mean: [CHUNK, PIX]
+    a = [comp(i) for i in range(9)]               # A row-major
+    u = [a[3 * r + 0] * w0[0] + a[3 * r + 1] * w0[1] + a[3 * r + 2] * w0[2]
+         for r in range(3)]
+    v = [a[3 * r + 0] * d[0] + a[3 * r + 1] * d[1] + a[3 * r + 2] * d[2]
+         for r in range(3)]
+    cr = [v[1] * u[2] - v[2] * u[1],
+          v[2] * u[0] - v[0] * u[2],
+          v[0] * u[1] - v[1] * u[0]]              # v x u
+    crsq = cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2]
+    vsq = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+    # Zero-padded rows have v == 0; keep them NaN-free (they carry opacity 0
+    # and are rejected, but 0 * inf would poison the accumulators).
+    inv_vsq = 1.0 / jnp.maximum(vsq, 1e-24)
+    g = crsq * inv_vsq
+    resp, dresp_dg = _response_and_grad_coeff(g, degree)
+    opacity = comp(12)
+    alpha_raw = resp * opacity
+    vdotu = v[0] * u[0] + v[1] * u[1] + v[2] * u[2]
+    hit_t = jnp.abs(vdotu) * inv_vsq
+    return dict(u=u, v=v, cr=cr, crsq=crsq, vsq=vsq, inv_vsq=inv_vsq, g=g,
+                resp=resp, dresp_dg=dresp_dg, opacity=opacity,
+                alpha_raw=alpha_raw, vdotu=vdotu, hit_t=hit_t, w0=w0, d=d,
+                a=a)
+
+
+def _alpha_from_raw(q, row_mask, min_response, min_alpha, max_alpha):
+    alpha = jnp.minimum(q["alpha_raw"], max_alpha)
+    accept = ((q["resp"] > min_response) & (alpha > min_alpha) & row_mask)
+    return jnp.where(accept, alpha, 0.0), accept
+
+
+def _tri_matmuls(x, strict_lower: bool):
+    """[CHUNK, PIX] -> prefix sums along the chunk axis via MXU matmul.
+
+    strict_lower=True gives exclusive prefix; False gives inclusive.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tri = (r > c) if strict_lower else (r >= c)
+    L = tri.astype(jnp.float32)
+    return jax.lax.dot_general(
+        L, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
+                    dbuf, sem, *, degree, min_transmittance, min_response,
+                    min_alpha, max_alpha):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    n_chunks = pl.cdiv(end - start, CHUNK)
+
+    out_ref[0] = jnp.zeros((8, PIX), jnp.float32)
+    out_ref[0, 5, :] = jnp.ones((PIX,), jnp.float32)  # transmittance
+
+    rays = rays_ref[0]
+
+    def body(state):
+        c, _ = state
+        s = start + c * CHUNK
+        cp = pltpu.make_async_copy(
+            data_hbm.at[pl.ds(s, CHUNK), :], dbuf, sem)
+        cp.start()
+        cp.wait()
+        S = dbuf[:]
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + s
+        row_mask = row_idx < end
+
+        q = _pair_quantities(S, rays, degree)
+        alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
+                                   max_alpha)
+        log1m = jnp.log1p(-alpha)
+        excl = _tri_matmuls(log1m, strict_lower=True)
+        t_carry = out_ref[0, 5, :][None, :]
+        t_before = t_carry * jnp.exp(excl)
+        live = t_before > min_transmittance
+        w = jnp.where(live, alpha * t_before, 0.0)
+
+        rgb = jax.lax.dot_general(
+            S[:, 13:16], w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [3, PIX]
+        out_ref[0, 0:3, :] += rgb
+        out_ref[0, 3, :] += jnp.sum(w, axis=0)
+        out_ref[0, 4, :] += jnp.sum(w * q["hit_t"], axis=0)
+        out_ref[0, 6, :] += jnp.sum((w > 0.0).astype(jnp.float32), axis=0)
+        processed_log = jnp.where(live, log1m, 0.0)
+        out_ref[0, 5, :] = (t_carry * jnp.exp(
+            jnp.sum(processed_log, axis=0, keepdims=True)))[0]
+        alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
+        return c + 1, alive
+
+    def cond(state):
+        c, alive = state
+        return (c < n_chunks) & alive
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+
+def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
+                     gout_ref, gdata_hbm, dbuf, gbuf, sem, gsem, *,
+                     degree, min_transmittance, min_response, min_alpha,
+                     max_alpha):
+    """Single re-walk front-to-back; suffix sums recovered from forward totals.
+
+    fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
+    same layout (rows 0-2 d_rgb, 3 d_opacity, 4 d_depth, 5 d_transmittance).
+    """
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    n_chunks = pl.cdiv(end - start, CHUNK)
+
+    rays = rays_ref[0]
+    dC = gout_ref[0, 0:3, :]          # [3, PIX]
+    dO = gout_ref[0, 3, :][None, :]   # [1, PIX]
+    dD = gout_ref[0, 4, :][None, :]
+    dT = gout_ref[0, 5, :][None, :]
+    t_final = fwd_ref[0, 5, :][None, :]
+    # Total of w_k * q_k over all hits, from the forward outputs:
+    # sum w c . dC + sum w . dO + sum (w hitT) . dD
+    a_tot = (fwd_ref[0, 0, :] * dC[0, :] + fwd_ref[0, 1, :] * dC[1, :]
+             + fwd_ref[0, 2, :] * dC[2, :]
+             + fwd_ref[0, 3, :] * dO[0, :]
+             + fwd_ref[0, 4, :] * dD[0, :])[None, :]
+
+    def body(state):
+        c, t_carry_v, prefix_v = state
+        s = start + c * CHUNK
+        cp = pltpu.make_async_copy(
+            data_hbm.at[pl.ds(s, CHUNK), :], dbuf, sem)
+        cp.start()
+        cp.wait()
+        S = dbuf[:]
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + s
+        row_mask = row_idx < end
+
+        q = _pair_quantities(S, rays, degree)
+        alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
+                                        max_alpha)
+        log1m = jnp.log1p(-alpha)
+        excl = _tri_matmuls(log1m, strict_lower=True)
+        t_before = t_carry_v[None, :] * jnp.exp(excl)
+        live = t_before > min_transmittance
+        w = jnp.where(live, alpha * t_before, 0.0)
+
+        # Per-hit pixel contribution q_j = c_j . dC + hitT_j * dD + dO.
+        qj = jax.lax.dot_general(
+            S[:, 13:16], dC, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [CHUNK, PIX]
+        qj = qj + q["hit_t"] * dD + dO
+
+        wq = w * qj
+        incl = _tri_matmuls(wq, strict_lower=False)  # inclusive prefix
+        suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
+
+        one_m = 1.0 - alpha
+        inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
+        d_alpha = jnp.where(
+            w > 0.0,
+            t_before * qj - suffix * inv_one_m - dT * t_final * inv_one_m,
+            0.0)
+
+        # alpha = min(max_alpha, resp * opacity); clamp kills the gradient.
+        unclamped = (q["alpha_raw"] < max_alpha) & accept
+        d_resp = jnp.where(unclamped, q["opacity"] * d_alpha, 0.0)
+        d_opacity_pair = jnp.where(unclamped, q["resp"] * d_alpha, 0.0)
+        d_g = d_resp * q["dresp_dg"]
+
+        # hitT = |v.u| / vsq enters through depth: dL/dhitT = w * dD.
+        d_hit = jnp.where(w > 0.0, w * dD, 0.0)
+        sign_m = jnp.sign(q["vdotu"])
+        d_m = sign_m * q["inv_vsq"] * d_hit
+        d_crsq = d_g * q["inv_vsq"]
+        d_vsq = (-q["g"] * q["inv_vsq"]) * d_g \
+            + (-q["hit_t"] * q["inv_vsq"]) * d_hit
+
+        u, v, cr = q["u"], q["v"], q["cr"]
+        # d crsq/du = 2 (cr x v); d crsq/dv = 2 (u x cr).
+        crxv = [cr[1] * v[2] - cr[2] * v[1],
+                cr[2] * v[0] - cr[0] * v[2],
+                cr[0] * v[1] - cr[1] * v[0]]
+        uxcr = [u[1] * cr[2] - u[2] * cr[1],
+                u[2] * cr[0] - u[0] * cr[2],
+                u[0] * cr[1] - u[1] * cr[0]]
+        du = [2.0 * d_crsq * crxv[i] + d_m * v[i] for i in range(3)]
+        dv = [2.0 * d_crsq * uxcr[i] + d_m * u[i] + 2.0 * d_vsq * v[i]
+              for i in range(3)]
+
+        # Chain to packed row entries, summed over pixels.
+        # dA[r, k] = sum_pix du_r * (o_k - p_k) + dv_r * d_k
+        cols = [jnp.sum(du[r] * q["w0"][k] + dv[r] * q["d"][k],
+                        axis=1, keepdims=True)
+                for r in range(3) for k in range(3)]
+        # dmean_k = -sum_r A[r, k] * sum_pix du_r
+        du_sum = [jnp.sum(du[r], axis=1, keepdims=True) for r in range(3)]
+        cols += [-(q["a"][0 * 3 + k] * du_sum[0]
+                   + q["a"][1 * 3 + k] * du_sum[1]
+                   + q["a"][2 * 3 + k] * du_sum[2]) for k in range(3)]
+        cols.append(jnp.sum(d_opacity_pair, axis=1, keepdims=True))
+        # dcolor = sum_pix w * dC_c  -> [CHUNK, 3]
+        gcol = jax.lax.dot_general(
+            w, dC, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        G = jnp.concatenate(cols + [gcol], axis=1)
+        G = jnp.where(row_mask, G, 0.0)
+
+        gbuf[:] = G
+        cpo = pltpu.make_async_copy(gbuf, gdata_hbm.at[pl.ds(s, CHUNK), :],
+                                    gsem)
+        cpo.start()
+        cpo.wait()
+
+        processed_log = jnp.where(live, log1m, 0.0)
+        t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
+        prefix_new = prefix_v + jnp.sum(wq, axis=0)
+        return c + 1, t_carry_new, prefix_new
+
+    def cond(state):
+        c, t_carry_v, _ = state
+        # No early exit: every row in [start, end) must receive its gradient
+        # (zeros included), because the output buffer is not pre-zeroed.
+        return c < n_chunks
+
+    jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((PIX,), jnp.float32),
+         jnp.zeros((PIX,), jnp.float32)))
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def tile_composite(
+    data_sorted: jnp.ndarray,   # [cap_pad, 16] gathered packed rows
+    tile_starts: jnp.ndarray,   # [num_tiles]
+    tile_ends: jnp.ndarray,     # [num_tiles]
+    rays: jnp.ndarray,          # [num_tiles, 8, 256]
+    degree: int,
+    min_transmittance: float,
+    min_response: float = C.MIN_KERNEL_RESPONSE,
+    min_alpha: float = C.MIN_ALPHA,
+    max_alpha: float = C.MAX_ALPHA,
+) -> jnp.ndarray:
+    """Returns [num_tiles, 8, 256] forward buffer (see module docstring)."""
+    return _forward(data_sorted, tile_starts, tile_ends, rays, degree,
+                    min_transmittance, min_response, min_alpha, max_alpha)
+
+
+def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
+             min_transmittance, min_response, min_alpha, max_alpha):
+    num_tiles = rays.shape[0]
+    kern = functools.partial(
+        _forward_kernel, degree=degree, min_transmittance=min_transmittance,
+        min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # data stays in HBM
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_should_interpret(),
+    )(tile_starts, tile_ends, data_sorted, rays)
+
+
+def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
+              min_transmittance, min_response, min_alpha, max_alpha):
+    out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
+                   min_transmittance, min_response, min_alpha, max_alpha)
+    return out, (data_sorted, tile_starts, tile_ends, rays, out)
+
+
+def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
+              res, g_out):
+    data_sorted, tile_starts, tile_ends, rays, out = res
+    num_tiles = rays.shape[0]
+    kern = functools.partial(
+        _backward_kernel, degree=degree,
+        min_transmittance=min_transmittance, min_response=min_response,
+        min_alpha=min_alpha, max_alpha=max_alpha)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
+            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    g_data = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(data_sorted.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_should_interpret(),
+    )(tile_starts, tile_ends, data_sorted, rays, out, g_out)
+    # Rows past the last tile end were never written: mask them.
+    cap = data_sorted.shape[0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    written = slot < jnp.max(tile_ends)
+    g_data = jnp.where(written[:, None], g_data, 0.0)
+    return g_data, None, None, None
+
+
+tile_composite.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,151 @@
+"""Fast 3DGUT renderer: UT projection -> tile binning/sort -> Pallas compositor.
+
+The end-to-end differentiable fast path. Projection, packing and SH color are
+plain jnp (JAX autodiff); only the tile compositing walk is a hand-written
+Pallas custom_vjp whose residuals are the sorted lists — mirroring the
+reference's two-phase design where the backward reuses the forward's sorted
+tile buffers (gutRenderer.cu:413-417).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from threedgrut_tpu import constants as C
+from threedgrut_tpu.cameras import Camera, SensorPose, ShutterType
+from threedgrut_tpu.ops import projection as proj_ops
+from threedgrut_tpu.ops import quaternion
+from threedgrut_tpu.ops import tiles as tile_ops
+from threedgrut_tpu.ops.pallas import tile_raster
+from threedgrut_tpu.render.gut_reference import (
+    RenderOutputs,
+    camera_center_world,
+    camera_space_rays,
+    precomputed_features,
+)
+
+
+def pad_to_tiles(resolution: Tuple[int, int]) -> Tuple[int, int]:
+    w, h = resolution
+    return (-(-w // C.TILE_X) * C.TILE_X, -(-h // C.TILE_Y) * C.TILE_Y)
+
+
+def tile_pack(img: jnp.ndarray, tile_grid: Tuple[int, int]) -> jnp.ndarray:
+    """[H, W, c] -> [num_tiles, c, 256] (row-major pixels within a tile)."""
+    gx, gy = tile_grid
+    c = img.shape[-1]
+    x = img.reshape(gy, C.TILE_Y, gx, C.TILE_X, c)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(gx * gy, C.TILE_SIZE, c)
+    return x.transpose(0, 2, 1)
+
+
+def tile_unpack(buf: jnp.ndarray, tile_grid: Tuple[int, int]) -> jnp.ndarray:
+    """[num_tiles, c, 256] -> [H, W, c]."""
+    gx, gy = tile_grid
+    c = buf.shape[1]
+    x = buf.transpose(0, 2, 1).reshape(gy, gx, C.TILE_Y, C.TILE_X, c)
+    return x.transpose(0, 2, 1, 3, 4).reshape(gy * C.TILE_Y, gx * C.TILE_X, c)
+
+
+def pack_particles(positions, quats, scales, opacities, colors) -> jnp.ndarray:
+    """Pack per-particle data into 16-float rows for the Pallas compositor.
+
+    A = diag(1/scale) R^T (world -> canonical incl. scales); colors are the
+    use-time-clamped precomputed SH radiance (max(c, 0), matching
+    gutKBufferRenderer.cuh:160-165).
+    """
+    R = quaternion.to_rotation_matrix(quats)          # [N, 3, 3]
+    A = jnp.swapaxes(R, -1, -2) / scales[..., :, None]
+    return jnp.concatenate([
+        A.reshape(-1, 9),
+        positions,
+        opacities[..., None],
+        jnp.maximum(colors, 0.0),
+    ], axis=-1)
+
+
+def render(
+    positions: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    features: jnp.ndarray,
+    cam: Camera,
+    pose: SensorPose,
+    resolution: Tuple[int, int],
+    isect_capacity: int,
+    shutter: ShutterType = ShutterType.GLOBAL,
+    sh_degree: int = 3,
+    kernel_degree: int = C.KERNEL_DEGREE_3DGUT,
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT,
+    tile_culling: bool = True,
+    T_to_world: jnp.ndarray | None = None,
+) -> Tuple[RenderOutputs, jnp.ndarray]:
+    """Render one frame. Returns (outputs, overflow_flag).
+
+    `isect_capacity` is a static bound on tile intersections; `overflow`
+    reports (as data) whether the true count exceeded it.
+    """
+    w, h = resolution
+    wp, hp = pad_to_tiles(resolution)
+    tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
+    n = positions.shape[0]
+
+    proj = proj_ops.project(positions, quats, scales, opacities, cam, pose,
+                            shutter, resolution)
+    binning = tile_ops.bin_particles(proj, tile_grid, isect_capacity,
+                                     tile_culling=tile_culling)
+
+    cam_center = camera_center_world(pose)
+    colors = precomputed_features(positions, features, cam_center, sh_degree)
+    packed = pack_particles(positions, quats, scales, opacities, colors)
+
+    data_sorted = packed[binning.sorted_particle_idx]          # [cap, 16]
+    data_sorted = jnp.concatenate(
+        [data_sorted,
+         jnp.zeros((tile_raster.CHUNK, tile_raster.ROW_F), packed.dtype)],
+        axis=0)
+
+    # Rays on the tile-padded grid.
+    ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
+    if T_to_world is None:
+        q_inv = quaternion.normalize(jnp.stack(
+            [pose.q_start[0], -pose.q_start[1], -pose.q_start[2],
+             -pose.q_start[3]]))
+        R = quaternion.to_rotation_matrix(q_inv)
+        t = cam_center
+    else:
+        R = T_to_world[:3, :3]
+        t = T_to_world[:3, 3]
+    ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
+    ray_d = ray_d_c.reshape(-1, 3) @ R.T
+    rays_img = jnp.concatenate([
+        ray_o.reshape(hp, wp, 3), ray_d.reshape(hp, wp, 3),
+        jnp.zeros((hp, wp, 2))], axis=-1)
+    rays = tile_pack(rays_img, tile_grid)                      # [T, 8, 256]
+
+    out = tile_raster.tile_composite(
+        data_sorted, binning.tile_starts, binning.tile_ends, rays,
+        kernel_degree, min_transmittance)
+
+    img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
+    img = img[:h, :w]
+    rgb = img[..., 0:3]
+    opacity = img[..., 3]
+    depth = img[..., 4]
+    transmittance = img[..., 5]
+    hit_count = img[..., 6]
+
+    # Visibility (for SelectiveAdam / densification): particle projected to a
+    # renderable splat this frame (reference sets it in the projector,
+    # gutProjector.cuh:275).
+    visibility = proj.valid & (proj.n_tiles > 0)
+
+    outputs = RenderOutputs(
+        rgb=rgb, opacity=opacity, depth=depth,
+        transmittance=transmittance, hit_count=hit_count,
+        visibility=visibility)
+    return outputs, binning.overflow
