@@ -1,0 +1,69 @@
+"""End-to-end training slice: synthetic scene, tiny resolution, PSNR must rise
+and checkpoints must round-trip."""
+import numpy as np
+import pytest
+
+from threedgrut_tpu.config import Config, apply_override, from_dict, make, to_dict
+from threedgrut_tpu.datasets.dataset_synthetic import SyntheticDataset
+from threedgrut_tpu.model import gaussians
+from threedgrut_tpu.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SyntheticDataset(num_views=6, resolution=(32, 32),
+                            num_gt_gaussians=48, seed=3)
+
+
+def make_trainer(dataset, **opt):
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 14
+    cfg.model.progressive_sh_interval = 10
+    cfg.train.seed = 0
+    for k, v in opt.items():
+        apply_override(cfg, f"{k}={v}")
+    pts = np.asarray(dataset.scene[0]) + np.random.default_rng(7).normal(
+        0, 0.05, dataset.scene[0].shape).astype(np.float32)
+    params = gaussians.init_from_points(pts, capacity=64)
+    return Trainer(cfg, dataset, val_dataset=dataset, params=params)
+
+
+def test_training_improves_psnr(dataset):
+    tr = make_trainer(dataset)
+    before = tr.validate()["psnr"]
+    tr.run(iterations=60, log_every=0)
+    after = tr.validate()["psnr"]
+    assert after > before + 1.0, (before, after)
+
+
+def test_checkpoint_roundtrip(tmp_path, dataset):
+    tr = make_trainer(dataset)
+    tr.run(iterations=5, log_every=0)
+    path = tr.save_checkpoint(str(tmp_path))
+    tr2 = Trainer.load_checkpoint(path, dataset=dataset, val_dataset=dataset)
+    assert tr2.global_step == tr.global_step
+    np.testing.assert_array_equal(np.asarray(tr2.params.positions),
+                                  np.asarray(tr.params.positions))
+    np.testing.assert_array_equal(
+        np.asarray(tr2.opt_state.exp_avg["positions"]),
+        np.asarray(tr.opt_state.exp_avg["positions"]))
+    # Training continues from the restored state without error.
+    tr2.run(iterations=2, log_every=0)
+
+
+def test_selective_adam_freezes_invisible(dataset):
+    tr = make_trainer(dataset, **{"optimizer.selective": "true"})
+    p0 = np.asarray(tr.params.positions).copy()
+    aux = tr.train_step(dataset[0])
+    vis = np.asarray(aux["visibility"])
+    p1 = np.asarray(tr.params.positions)
+    moved = np.abs(p1 - p0).sum(-1) > 0
+    assert not moved[~vis].any()
+
+
+def test_config_roundtrip():
+    cfg = make("nerf_synthetic_3dgrt", overrides=["train.iterations=123"])
+    assert cfg.render.method == "3dgrt"
+    assert cfg.train.iterations == 123
+    cfg2 = from_dict(to_dict(cfg))
+    assert to_dict(cfg2) == to_dict(cfg)

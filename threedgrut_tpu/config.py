@@ -1,0 +1,211 @@
+"""Configuration tree for training/rendering.
+
+TPU-native single-tier replacement for the reference's two-tier config
+(Hydra YAML + compile-time -D macros, SURVEY.md §5.6: configs/base_gs.yaml,
+configs/render/{3dgrt,3dgut}.yaml, configs/strategy/{gs,mcmc}.yaml,
+threedgut_tracer/setup_3dgut.py:41-70). Here every render constant is a plain
+Python value that specializes `jax.jit`/Pallas tracing — recompiles are
+automatic and keyed correctly by value.
+
+Plain dataclasses + YAML loading + CLI dotted overrides (`a.b.c=value`), no
+external dependency.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+from threedgrut_tpu import constants as C
+from threedgrut_tpu.optimizers import OptimizerConfig
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    method: str = "3dgut"                 # 3dgut | 3dgrt
+    particle_kernel_degree: int = C.KERNEL_DEGREE_3DGUT
+    particle_kernel_min_response: float = C.MIN_KERNEL_RESPONSE
+    particle_kernel_min_alpha: float = C.MIN_ALPHA
+    particle_kernel_max_alpha: float = C.MAX_ALPHA
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT
+    tile_culling: bool = True
+    # Static capacity for tile intersections (pairs). Grown on overflow
+    # outside jit; kept as a multiple of 64k to bound retraces.
+    isect_capacity: int = 1 << 21
+    # 3DGRT-path settings.
+    k_hits_per_chunk: int = 64            # particles per lax.scan chunk
+    grid_resolution: int = 64             # culling-grid resolution (trace path)
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    n_active_features: int = 0            # progressive SH start degree
+    max_sh_degree: int = 3
+    progressive_sh_interval: int = 1000   # +1 degree every N steps
+    background_color: str = "black"       # black | white | random
+    default_density: float = 0.1
+    capacity: Optional[int] = None        # particle buffer capacity (None=auto)
+
+
+@dataclasses.dataclass
+class StrategyConfig:
+    method: str = "gs"                    # gs | mcmc | none
+    # GS (configs/strategy/gs.yaml)
+    densify_start: int = 500
+    densify_end: int = 15000
+    densify_frequency: int = 300
+    densify_grad_threshold: float = 2e-4
+    densify_scale_threshold: float = 0.01   # relative to scene extent
+    prune_density_threshold: float = 0.005
+    prune_scale_threshold: float = 0.0      # screen-size prune (0 = off)
+    reset_density_frequency: int = 3000
+    reset_density_value: float = 0.01
+    split_n: int = 2
+    split_scale_divisor: float = 1.6
+    # MCMC (configs/strategy/mcmc.yaml)
+    mcmc_opacity_threshold: float = 0.005
+    mcmc_noise_lr: float = 5e5
+    mcmc_add_frequency: int = 100
+    mcmc_add_fraction: float = 0.05
+    mcmc_max_gaussians: int = 1_000_000
+    mcmc_binom_n_max: int = 51
+
+
+@dataclasses.dataclass
+class LossConfig:
+    lambda_l1: float = 0.8
+    lambda_l2: float = 0.0
+    lambda_ssim: float = 0.2
+    use_mask: bool = False
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    type: str = "nerf"                    # nerf | colmap | scannetpp | synthetic
+    path: str = ""
+    downsample_factor: int = 1
+    test_split_interval: int = 8          # colmap val split
+    bg_color: Optional[Tuple[float, float, float]] = None
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    iterations: int = 30000
+    checkpoint_iterations: Tuple[int, ...] = (7000, 30000)
+    val_frequency: int = 5000
+    print_frequency: int = 100
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Config:
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    strategy: StrategyConfig = dataclasses.field(default_factory=StrategyConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    out_dir: str = "runs"
+    experiment_name: str = "experiment"
+    resume: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Presets (the reference's configs/apps/*.yaml)
+# ---------------------------------------------------------------------------
+
+def preset_3dgut() -> Config:
+    return Config()
+
+
+def preset_3dgrt() -> Config:
+    cfg = Config()
+    cfg.render.method = "3dgrt"
+    cfg.render.particle_kernel_degree = C.KERNEL_DEGREE_3DGRT
+    cfg.render.min_transmittance = C.MIN_TRANSMITTANCE_3DGRT
+    return cfg
+
+
+def preset_mcmc(base: Optional[Config] = None) -> Config:
+    cfg = base or Config()
+    cfg.strategy.method = "mcmc"
+    return cfg
+
+
+PRESETS = {
+    "nerf_synthetic_3dgut": preset_3dgut,
+    "nerf_synthetic_3dgrt": preset_3dgrt,
+    "colmap_3dgut": preset_3dgut,
+    "colmap_3dgrt": preset_3dgrt,
+    "scannetpp_3dgut": preset_3dgut,
+}
+
+
+def make(name: str = "nerf_synthetic_3dgut", overrides=()) -> Config:
+    cfg = PRESETS[name]()
+    for ov in overrides:
+        apply_override(cfg, ov)
+    return cfg
+
+
+def _coerce(old: Any, text: str) -> Any:
+    if isinstance(old, bool):
+        return text.lower() in ("1", "true", "yes", "on")
+    if isinstance(old, int) and not isinstance(old, bool):
+        return int(text)
+    if isinstance(old, float):
+        return float(text)
+    if isinstance(old, tuple):
+        return tuple(json.loads(text))
+    if old is None:
+        try:
+            return json.loads(text)
+        except (ValueError, json.JSONDecodeError):
+            return text
+    return text
+
+
+def apply_override(cfg: Config, override: str) -> None:
+    """Apply a Hydra-style dotted override: 'render.method=3dgrt'."""
+    key, _, value = override.partition("=")
+    obj = cfg
+    parts = key.strip().split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if dataclasses.is_dataclass(obj) and leaf not in {
+            f.name for f in dataclasses.fields(obj)}:
+        raise KeyError(f"unknown config key {key!r}")
+    coerced = _coerce(getattr(obj, leaf, None), value.strip())
+    # OptimizerConfig is frozen (it is hashable for jit static args).
+    object.__setattr__(obj, leaf, coerced)
+
+
+def to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+_SUBCONFIGS = {
+    "render": RenderConfig, "model": ModelConfig, "optimizer": OptimizerConfig,
+    "strategy": StrategyConfig, "loss": LossConfig, "dataset": DatasetConfig,
+    "train": TrainConfig,
+}
+
+
+def from_dict(d: dict) -> Config:
+    def build(cls, dd):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in dd:
+                continue
+            v = dd[f.name]
+            if f.name in _SUBCONFIGS and cls is Config:
+                kwargs[f.name] = build(_SUBCONFIGS[f.name], v)
+            elif isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+    return build(Config, d)

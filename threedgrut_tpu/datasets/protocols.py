@@ -1,0 +1,62 @@
+"""Dataset protocol: the per-view batch and the bounded multi-view interface.
+
+Reference semantics: threedgrut/datasets/protocols.py:23-98 — Batch carries
+camera-space rays, a camera-to-world transform, ground truth, and intrinsics;
+datasets expose scene bounds/extent and observer (camera) points for model
+init. TPU-native difference: rays are generated on device from the camera
+model inside the jitted render (no cached ray grids or H2D ray copies), so a
+Batch is just pose + intrinsics + gt.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Protocol, Tuple
+
+import numpy as np
+
+from threedgrut_tpu.cameras import Camera, ShutterType
+
+
+@dataclasses.dataclass
+class View:
+    """One training/eval view (host-side, numpy)."""
+    T_to_world: np.ndarray          # [4, 4] camera-to-world (right-down-front)
+    camera: Camera                  # pinhole or fisheye parameters (numpy ok)
+    resolution: Tuple[int, int]     # (W, H)
+    rgb_gt: Optional[np.ndarray]    # [H, W, 3] float32 in [0, 1]
+    mask: Optional[np.ndarray] = None   # [H, W, 1] float32
+    shutter: ShutterType = ShutterType.GLOBAL
+    pose_end: Optional[np.ndarray] = None  # [4, 4] for rolling shutter
+
+
+class MultiViewDataset(Protocol):
+    def __len__(self) -> int: ...
+    def __getitem__(self, idx: int) -> View: ...
+    @property
+    def scene_extent(self) -> float: ...
+    @property
+    def observer_points(self) -> np.ndarray: ...
+
+
+def camera_bbox_extent(camera_centers: np.ndarray,
+                       factor: float = 1.1) -> float:
+    """Scene extent = factor * camera bounding-box diagonal
+    (reference dataset_nerf.py:165-167 / trainer.py:177-182)."""
+    lo = camera_centers.min(axis=0)
+    hi = camera_centers.max(axis=0)
+    return float(np.linalg.norm(hi - lo) * factor)
+
+
+def epoch_indices(n: int, seed: int, epoch: int) -> np.ndarray:
+    rng = np.random.default_rng(seed * 100003 + epoch)
+    return rng.permutation(n)
+
+
+def iterate_epochs(n: int, seed: int) -> Iterator[int]:
+    """Infinite shuffled view-index stream (the reference's
+    MultiEpochsDataLoader with batch_size=1, datasets/utils.py:138-167)."""
+    epoch = 0
+    while True:
+        for i in epoch_indices(n, seed, epoch):
+            yield int(i)
+        epoch += 1

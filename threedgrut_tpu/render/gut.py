@@ -67,6 +67,55 @@ def pack_particles(positions, quats, scales, opacities, colors) -> jnp.ndarray:
     ], axis=-1)
 
 
+def prepare(
+    positions, quats, scales, opacities, features, cam, pose,
+    resolution, isect_capacity, shutter=ShutterType.GLOBAL, sh_degree=3,
+    tile_culling=True,
+):
+    """Projection + binning + packing: everything before compositing.
+
+    Returns (proj, binning, data_sorted [cap+CHUNK, 16], tile_grid)."""
+    wp, hp = pad_to_tiles(resolution)
+    tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
+
+    proj = proj_ops.project(positions, quats, scales, opacities, cam, pose,
+                            shutter, resolution)
+    binning = tile_ops.bin_particles(proj, tile_grid, isect_capacity,
+                                     tile_culling=tile_culling)
+
+    cam_center = camera_center_world(pose)
+    colors = precomputed_features(positions, features, cam_center, sh_degree)
+    packed = pack_particles(positions, quats, scales, opacities, colors)
+
+    data_sorted = packed[binning.sorted_particle_idx]          # [cap, 16]
+    data_sorted = jnp.concatenate(
+        [data_sorted,
+         jnp.zeros((tile_raster.CHUNK, tile_raster.ROW_F), packed.dtype)],
+        axis=0)
+    return proj, binning, data_sorted, tile_grid
+
+
+def packed_world_rays(cam, pose, tile_grid, T_to_world=None):
+    """World-space rays on the tile-padded grid, packed [T, 8, 256]."""
+    wp, hp = (tile_grid[0] * C.TILE_X, tile_grid[1] * C.TILE_Y)
+    ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
+    if T_to_world is None:
+        q_inv = quaternion.normalize(jnp.stack(
+            [pose.q_start[0], -pose.q_start[1], -pose.q_start[2],
+             -pose.q_start[3]]))
+        R = quaternion.to_rotation_matrix(q_inv)
+        t = camera_center_world(pose)
+    else:
+        R = T_to_world[:3, :3]
+        t = T_to_world[:3, 3]
+    ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
+    ray_d = ray_d_c.reshape(-1, 3) @ R.T
+    rays_img = jnp.concatenate([
+        ray_o.reshape(hp, wp, 3), ray_d.reshape(hp, wp, 3),
+        jnp.zeros((hp, wp, 2))], axis=-1)
+    return tile_pack(rays_img, tile_grid)                      # [T, 8, 256]
+
+
 def render(
     positions: jnp.ndarray,
     quats: jnp.ndarray,
@@ -90,42 +139,10 @@ def render(
     reports (as data) whether the true count exceeded it.
     """
     w, h = resolution
-    wp, hp = pad_to_tiles(resolution)
-    tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
-    n = positions.shape[0]
-
-    proj = proj_ops.project(positions, quats, scales, opacities, cam, pose,
-                            shutter, resolution)
-    binning = tile_ops.bin_particles(proj, tile_grid, isect_capacity,
-                                     tile_culling=tile_culling)
-
-    cam_center = camera_center_world(pose)
-    colors = precomputed_features(positions, features, cam_center, sh_degree)
-    packed = pack_particles(positions, quats, scales, opacities, colors)
-
-    data_sorted = packed[binning.sorted_particle_idx]          # [cap, 16]
-    data_sorted = jnp.concatenate(
-        [data_sorted,
-         jnp.zeros((tile_raster.CHUNK, tile_raster.ROW_F), packed.dtype)],
-        axis=0)
-
-    # Rays on the tile-padded grid.
-    ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
-    if T_to_world is None:
-        q_inv = quaternion.normalize(jnp.stack(
-            [pose.q_start[0], -pose.q_start[1], -pose.q_start[2],
-             -pose.q_start[3]]))
-        R = quaternion.to_rotation_matrix(q_inv)
-        t = cam_center
-    else:
-        R = T_to_world[:3, :3]
-        t = T_to_world[:3, 3]
-    ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
-    ray_d = ray_d_c.reshape(-1, 3) @ R.T
-    rays_img = jnp.concatenate([
-        ray_o.reshape(hp, wp, 3), ray_d.reshape(hp, wp, 3),
-        jnp.zeros((hp, wp, 2))], axis=-1)
-    rays = tile_pack(rays_img, tile_grid)                      # [T, 8, 256]
+    proj, binning, data_sorted, tile_grid = prepare(
+        positions, quats, scales, opacities, features, cam, pose, resolution,
+        isect_capacity, shutter, sh_degree, tile_culling)
+    rays = packed_world_rays(cam, pose, tile_grid, T_to_world)
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
