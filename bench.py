@@ -1,0 +1,95 @@
+"""Headline benchmark: rays/s per chip, forward+backward, at 1M Gaussians.
+
+Matches BASELINE.json's metric. The baseline denominator is the reference's
+3DGUT unsorted lego training throughput on an RTX 5090: 30k iterations of
+800x800 in 221.7 s (README.md:302) = 8.66e7 rays/s fwd+bwd (that figure
+includes the reference's full train-step overheads; ours likewise times the
+full jitted train step: render fwd + loss + backward + Adam).
+
+Prints ONE JSON line. On non-TPU backends (driver smoke runs) the problem
+size is scaled down; `vs_baseline` is only meaningful on TPU.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 8.66e7  # reference lego 3DGUT train, RTX 5090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from threedgrut_tpu import optimizers
+    from threedgrut_tpu.config import Config
+    from threedgrut_tpu.datasets.dataset_synthetic import look_at
+    from threedgrut_tpu.model import gaussians as G
+    from threedgrut_tpu.trainer import _register_cfg, _step_impl
+    from __graft_entry__ import _example_camera
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        n, res, iters, cap = 1_000_000, (800, 800), 10, 1 << 22
+    else:
+        n, res, iters, cap = 2_000, (64, 64), 2, 1 << 13
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.log(np.exp(rng.uniform(np.log(0.004), np.log(0.02),
+                                       size=(n, 3)))).astype(np.float32)
+    density = np.full((n, 1), 0.0, np.float32)     # sigmoid -> 0.5
+    albedo = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    spec = np.zeros((n, 45), np.float32)
+    params = G.from_arrays(pos, quats, scales, density, albedo, spec)
+    opt = optimizers.init(params)
+
+    cfg = Config()
+    cfg.render.isect_capacity = cap
+    cfg.model.background_color = "black"
+    cfg_key = _register_cfg(cfg)
+
+    cam = _example_camera(res)
+    T = jnp.asarray(look_at(np.array([0., -4.0, 1.0], np.float32),
+                            np.zeros(3, np.float32),
+                            np.array([0., 0., 1.], np.float32)))
+    gt = jnp.zeros((res[1], res[0], 3), jnp.float32)
+    mask = jnp.ones((res[1], res[0], 1), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def step(params, opt):
+        return _step_impl(params, opt, T, cam, gt, mask, key,
+                          jnp.float32(4.0), res, 3, cfg_key, True)
+
+    # Warmup/compile.
+    p, o, aux = step(params, opt)
+    jax.block_until_ready(p)
+    overflow = bool(aux["overflow"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, o, aux = step(p, o)
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = res[0] * res[1] * iters / dt
+    print(json.dumps({
+        "metric": "rays_per_s_fwd_bwd_1M_gaussians" if on_tpu
+                  else "rays_per_s_fwd_bwd_cpu_smoke",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+        "backend": jax.default_backend(),
+        "n_gaussians": n,
+        "resolution": list(res),
+        "iters": iters,
+        "isect_overflow": overflow,
+        "step_ms": round(1000.0 * dt / iters, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,7 +95,9 @@ def test_transmittance_gradient():
 
 
 def test_overflow_flag():
-    pos, quat, scale, opa, feats = random_scene(n=64, seed=5)
+    # 128 particles produce ~345 tile intersections at this resolution; a
+    # 256-slot capacity (the minimum window multiple) must overflow.
+    pos, quat, scale, opa, feats = random_scene(n=128, seed=5)
     _, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
-                             IDENTITY_POSE, RES, 16)
+                             IDENTITY_POSE, RES, 256)
     assert bool(overflow)

@@ -1,0 +1,102 @@
+"""Multi-chip (virtual 8-device CPU mesh) data/tile-parallel training step:
+must run, keep params replicated, and match the single-device step."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threedgrut_tpu import optimizers
+from threedgrut_tpu.config import Config
+from threedgrut_tpu.datasets.dataset_synthetic import SyntheticDataset
+from threedgrut_tpu.model import gaussians
+from threedgrut_tpu.parallel import dp
+from threedgrut_tpu.trainer import Trainer, _step_impl, _register_cfg
+
+RES = (32, 32)  # 2x2 tiles
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = SyntheticDataset(num_views=4, resolution=RES, num_gt_gaussians=32,
+                          seed=11)
+    pts = np.asarray(ds.scene[0]) + np.random.default_rng(1).normal(
+        0, 0.05, ds.scene[0].shape).astype(np.float32)
+    params = gaussians.init_from_points(pts, capacity=64)
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 12
+    cfg.model.background_color = "black"
+    return ds, params, cfg
+
+
+def _batch(ds, idxs):
+    views = [ds[i] for i in idxs]
+    Ts = jnp.stack([jnp.asarray(v.T_to_world) for v in views])
+    cams = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *[v.camera for v in views])
+    gts = jnp.stack([jnp.asarray(v.rgb_gt) for v in views])
+    return Ts, cams, gts
+
+
+def test_dp_step_matches_single_device(setup):
+    """The psummed tile-sharded gradient must equal the single-device
+    gradient (Adam's first-step sign amplification makes post-update params
+    the wrong thing to compare)."""
+    ds, params, cfg = setup
+    mesh = dp.make_mesh(4, tile_parallel=4)  # 1 view, 4-way tile sharding
+    step = dp.make_dp_train_step(cfg, mesh, RES, sh_degree=3,
+                                 debug_grads=True)
+    opt = optimizers.init(params)
+    Ts, cams, gts = _batch(ds, [0])
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+
+    _, _, metrics = step(params, opt, Ts, cams, gts, keys,
+                         jnp.float32(ds.scene_extent))
+
+    # Single-device reference gradient on the same view (black background ->
+    # the PRNG key does not influence the loss).
+    from threedgrut_tpu import optimizers as opt_mod
+    from threedgrut_tpu.cameras import pose_from_matrix
+    from threedgrut_tpu.model import losses as losses_mod
+    from threedgrut_tpu.render import gut
+
+    cam0 = jax.tree.map(lambda x: x[0], cams)
+    pose = pose_from_matrix(Ts[0])
+
+    def loss_sd(fields):
+        p = params.replace(**fields)
+        out, _ = gut.render(p.get_positions(), p.get_rotation(),
+                            p.get_scale(), p.get_density(), p.get_features(),
+                            cam0, pose, RES, cfg.render.isect_capacity,
+                            sh_degree=3, T_to_world=Ts[0])
+        loss, _ = losses_mod.total_loss(out.rgb, gts[0])
+        return loss
+
+    fields = {f: getattr(params, f) for f in opt_mod.PARAM_FIELDS}
+    g_sd = jax.grad(loss_sd)(fields)
+
+    for f in opt_mod.PARAM_FIELDS:
+        scale = max(1e-6, float(np.abs(np.asarray(g_sd[f])).max()))
+        np.testing.assert_allclose(
+            np.asarray(metrics["grads"][f]), np.asarray(g_sd[f]),
+            atol=1e-4 * scale + 1e-8, err_msg=f)
+    assert not bool(metrics["overflow"])
+
+
+def test_dp_views_times_tiles(setup):
+    ds, params, cfg = setup
+    mesh = dp.make_mesh(8, tile_parallel=2)  # 4 views x 2-way tiles
+    step = dp.make_dp_train_step(cfg, mesh, RES, sh_degree=3)
+    opt = optimizers.init(params)
+    Ts, cams, gts = _batch(ds, [0, 1, 2, 3])
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    p2, o2, metrics = step(params, opt, Ts, cams, gts, keys,
+                           jnp.float32(ds.scene_extent))
+    assert np.isfinite(float(metrics["loss"]))
+    # Parameters stay replicated: fetching from different devices agrees.
+    pos = p2.positions
+    shards = [np.asarray(s.data) for s in pos.addressable_shards]
+    np.testing.assert_array_equal(shards[0], shards[-1])
+    # A second step runs (replication invariants hold under jit reuse).
+    step(p2, o2, Ts, cams, gts, keys, jnp.float32(ds.scene_extent))

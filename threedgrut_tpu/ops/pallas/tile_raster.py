@@ -5,15 +5,19 @@ stage — cooperative shared-memory prefetch, warp ballots, atomics):
 
   * Grid over 16x16 pixel tiles, executed sequentially ("arbitrary"), one
     program per tile.
-  * The per-tile depth-sorted particle list is walked in chunks of 256 rows
-    DMA'd from HBM into VMEM (double-buffer-free v1; the DMA is overlapped by
-    Mosaic's default pipelining of the rays/out blocks).
+  * The depth-sorted particle list lives in HBM as CHUNK-aligned windows in
+    struct-of-arrays layout [W, ROW_F, CHUNK] (fields x particles), so every
+    DMA moves full (16, 256) f32 blocks — Mosaic-tileable (sublane 8 | lane
+    128 aligned), no unaligned slicing. A tile walks the windows overlapping
+    its [start, end) range and masks rows outside it.
   * The per-ray sequential transmittance recurrence is reformulated as an
     exclusive prefix sum of log(1 - alpha) computed by a strictly-lower-
     triangular ones matmul on the MXU — no sequential per-hit loop, no warp
     primitives.
   * Per-particle gradients are written densely per sorted slot (no atomics)
     and segment-summed outside by an XLA scatter-add — bitwise deterministic.
+    Boundary windows shared by consecutive tiles are handled with
+    read-modify-write, which is race-free because the grid is sequential.
 
 The per-(ray, particle) alpha is the exact 3D ray-space response of
 ops/particles.py, evaluated from a packed per-particle row:
@@ -41,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from threedgrut_tpu import constants as C
 
-CHUNK = 256          # sorted-list rows per inner iteration
+CHUNK = 256          # sorted-list rows per window
 PIX = C.TILE_SIZE    # 256 pixels per tile
 ROW_F = 16           # packed floats per particle
 
@@ -80,13 +84,13 @@ def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
 
 
 def _pair_quantities(S, rays, degree):
-    """Shared forward math for one chunk.
+    """Shared forward math for one window.
 
-    S: [CHUNK, ROW_F] packed rows; rays: [8, PIX] block.
+    S: [ROW_F, CHUNK] packed fields-x-particles; rays: [8, PIX] block.
     Returns dict of [CHUNK, PIX] (and [CHUNK, 1]) arrays.
     """
     def comp(i):
-        return S[:, i:i + 1]  # [CHUNK, 1]
+        return S[i, :][:, None]  # [CHUNK, 1]
 
     o = [rays[i, :][None, :] for i in range(3)]   # [1, PIX] each
     d = [rays[3 + i, :][None, :] for i in range(3)]
@@ -137,13 +141,19 @@ def _tri_matmuls(x, strict_lower: bool):
         preferred_element_type=jnp.float32)
 
 
+def _row_mask(w, start, end):
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + w * CHUNK
+    return (row_idx >= start) & (row_idx < end)
+
+
 def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
                     dbuf, sem, *, degree, min_transmittance, min_response,
                     min_alpha, max_alpha):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
-    n_chunks = pl.cdiv(end - start, CHUNK)
+    w0 = start // CHUNK
+    w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
 
     out_ref[0] = jnp.zeros((8, PIX), jnp.float32)
     out_ref[0, 5, :] = jnp.ones((PIX,), jnp.float32)  # transmittance
@@ -151,15 +161,12 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
     rays = rays_ref[0]
 
     def body(state):
-        c, _ = state
-        s = start + c * CHUNK
-        cp = pltpu.make_async_copy(
-            data_hbm.at[pl.ds(s, CHUNK), :], dbuf, sem)
+        w, _ = state
+        cp = pltpu.make_async_copy(data_hbm.at[w], dbuf, sem)
         cp.start()
         cp.wait()
         S = dbuf[:]
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + s
-        row_mask = row_idx < end
+        row_mask = _row_mask(w, start, end)
 
         q = _pair_quantities(S, rays, degree)
         alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
@@ -169,26 +176,26 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         t_carry = out_ref[0, 5, :][None, :]
         t_before = t_carry * jnp.exp(excl)
         live = t_before > min_transmittance
-        w = jnp.where(live, alpha * t_before, 0.0)
+        w_ = jnp.where(live, alpha * t_before, 0.0)
 
         rgb = jax.lax.dot_general(
-            S[:, 13:16], w, dimension_numbers=(((0,), (0,)), ((), ())),
+            S[13:16, :], w_, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [3, PIX]
         out_ref[0, 0:3, :] += rgb
-        out_ref[0, 3, :] += jnp.sum(w, axis=0)
-        out_ref[0, 4, :] += jnp.sum(w * q["hit_t"], axis=0)
-        out_ref[0, 6, :] += jnp.sum((w > 0.0).astype(jnp.float32), axis=0)
+        out_ref[0, 3, :] += jnp.sum(w_, axis=0)
+        out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
+        out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32), axis=0)
         processed_log = jnp.where(live, log1m, 0.0)
         out_ref[0, 5, :] = (t_carry * jnp.exp(
             jnp.sum(processed_log, axis=0, keepdims=True)))[0]
         alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
-        return c + 1, alive
+        return w + 1, alive
 
     def cond(state):
-        c, alive = state
-        return (c < n_chunks) & alive
+        w, alive = state
+        return (w < w1) & alive
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+    jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
 
 
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
@@ -199,11 +206,15 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
     same layout (rows 0-2 d_rgb, 3 d_opacity, 4 d_depth, 5 d_transmittance).
+    Boundary windows are read-modify-written: rows outside [start, end) keep
+    the previously stored values (the preceding tile's gradients), which is
+    correct because grid programs run sequentially in ascending order.
     """
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
-    n_chunks = pl.cdiv(end - start, CHUNK)
+    w0 = start // CHUNK
+    w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
 
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
@@ -219,15 +230,15 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
              + fwd_ref[0, 4, :] * dD[0, :])[None, :]
 
     def body(state):
-        c, t_carry_v, prefix_v = state
-        s = start + c * CHUNK
-        cp = pltpu.make_async_copy(
-            data_hbm.at[pl.ds(s, CHUNK), :], dbuf, sem)
+        w, t_carry_v, prefix_v = state
+        cp = pltpu.make_async_copy(data_hbm.at[w], dbuf, sem)
         cp.start()
+        # Prefetch current gradient window for the boundary blend.
+        cpg = pltpu.make_async_copy(gdata_hbm.at[w], gbuf, gsem)
+        cpg.start()
         cp.wait()
         S = dbuf[:]
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + s
-        row_mask = row_idx < end
+        row_mask = _row_mask(w, start, end)
 
         q = _pair_quantities(S, rays, degree)
         alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
@@ -236,22 +247,22 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         excl = _tri_matmuls(log1m, strict_lower=True)
         t_before = t_carry_v[None, :] * jnp.exp(excl)
         live = t_before > min_transmittance
-        w = jnp.where(live, alpha * t_before, 0.0)
+        w_ = jnp.where(live, alpha * t_before, 0.0)
 
         # Per-hit pixel contribution q_j = c_j . dC + hitT_j * dD + dO.
         qj = jax.lax.dot_general(
-            S[:, 13:16], dC, dimension_numbers=(((1,), (0,)), ((), ())),
+            S[13:16, :], dC, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [CHUNK, PIX]
         qj = qj + q["hit_t"] * dD + dO
 
-        wq = w * qj
+        wq = w_ * qj
         incl = _tri_matmuls(wq, strict_lower=False)  # inclusive prefix
         suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
 
         one_m = 1.0 - alpha
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
         d_alpha = jnp.where(
-            w > 0.0,
+            w_ > 0.0,
             t_before * qj - suffix * inv_one_m - dT * t_final * inv_one_m,
             0.0)
 
@@ -262,7 +273,7 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         d_g = d_resp * q["dresp_dg"]
 
         # hitT = |v.u| / vsq enters through depth: dL/dhitT = w * dD.
-        d_hit = jnp.where(w > 0.0, w * dD, 0.0)
+        d_hit = jnp.where(w_ > 0.0, w_ * dD, 0.0)
         sign_m = jnp.sign(q["vdotu"])
         d_m = sign_m * q["inv_vsq"] * d_hit
         d_crsq = d_g * q["inv_vsq"]
@@ -281,44 +292,45 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         dv = [2.0 * d_crsq * uxcr[i] + d_m * u[i] + 2.0 * d_vsq * v[i]
               for i in range(3)]
 
-        # Chain to packed row entries, summed over pixels.
+        # Chain to packed row entries, summed over pixels -> [1, CHUNK] rows.
         # dA[r, k] = sum_pix du_r * (o_k - p_k) + dv_r * d_k
-        cols = [jnp.sum(du[r] * q["w0"][k] + dv[r] * q["d"][k],
-                        axis=1, keepdims=True)
+        rows = [jnp.sum(du[r] * q["w0"][k] + dv[r] * q["d"][k],
+                        axis=1)[None, :]
                 for r in range(3) for k in range(3)]
         # dmean_k = -sum_r A[r, k] * sum_pix du_r
-        du_sum = [jnp.sum(du[r], axis=1, keepdims=True) for r in range(3)]
-        cols += [-(q["a"][0 * 3 + k] * du_sum[0]
-                   + q["a"][1 * 3 + k] * du_sum[1]
-                   + q["a"][2 * 3 + k] * du_sum[2]) for k in range(3)]
-        cols.append(jnp.sum(d_opacity_pair, axis=1, keepdims=True))
-        # dcolor = sum_pix w * dC_c  -> [CHUNK, 3]
+        du_sum = [jnp.sum(du[r], axis=1)[None, :] for r in range(3)]
+        rows += [-(S[0 * 3 + k, :][None, :] * du_sum[0]
+                   + S[1 * 3 + k, :][None, :] * du_sum[1]
+                   + S[2 * 3 + k, :][None, :] * du_sum[2]) for k in range(3)]
+        rows.append(jnp.sum(d_opacity_pair, axis=1)[None, :])
+        # dcolor = sum_pix w * dC_c  -> [3, CHUNK]
         gcol = jax.lax.dot_general(
-            w, dC, dimension_numbers=(((1,), (1,)), ((), ())),
+            dC, w_, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        G = jnp.concatenate(cols + [gcol], axis=1)
-        G = jnp.where(row_mask, G, 0.0)
+        G = jnp.concatenate(rows + [gcol], axis=0)   # [ROW_F, CHUNK]
 
-        gbuf[:] = G
-        cpo = pltpu.make_async_copy(gbuf, gdata_hbm.at[pl.ds(s, CHUNK), :],
-                                    gsem)
+        # Boundary blend: keep previously stored values outside [start, end).
+        cpg.wait()
+        keep = row_mask[:, 0][None, :]               # [1, CHUNK] over rows
+        gbuf[:] = jnp.where(keep, G, gbuf[:])
+        cpo = pltpu.make_async_copy(gbuf, gdata_hbm.at[w], gsem)
         cpo.start()
         cpo.wait()
 
         processed_log = jnp.where(live, log1m, 0.0)
         t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
         prefix_new = prefix_v + jnp.sum(wq, axis=0)
-        return c + 1, t_carry_new, prefix_new
+        return w + 1, t_carry_new, prefix_new
 
     def cond(state):
-        c, t_carry_v, _ = state
+        w, t_carry_v, _ = state
         # No early exit: every row in [start, end) must receive its gradient
         # (zeros included), because the output buffer is not pre-zeroed.
-        return c < n_chunks
+        return w < w1
 
     jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.ones((PIX,), jnp.float32),
+        (w0, jnp.ones((PIX,), jnp.float32),
          jnp.zeros((PIX,), jnp.float32)))
 
 
@@ -326,10 +338,21 @@ def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _to_windows(data_sorted: jnp.ndarray) -> jnp.ndarray:
+    """[capP, ROW_F] -> [W, ROW_F, CHUNK] struct-of-arrays windows."""
+    cap = data_sorted.shape[0]
+    assert cap % CHUNK == 0, f"capacity {cap} not a multiple of {CHUNK}"
+    return data_sorted.reshape(cap // CHUNK, CHUNK, ROW_F).transpose(0, 2, 1)
+
+
+def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
+    return wdata.transpose(0, 2, 1).reshape(-1, ROW_F)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def tile_composite(
-    data_sorted: jnp.ndarray,   # [cap_pad, 16] gathered packed rows
+    data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
     tile_ends: jnp.ndarray,     # [num_tiles]
     rays: jnp.ndarray,          # [num_tiles, 8, 256]
@@ -347,6 +370,7 @@ def tile_composite(
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha):
     num_tiles = rays.shape[0]
+    wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha)
@@ -354,14 +378,14 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
             pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
+            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -372,7 +396,7 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_should_interpret(),
-    )(tile_starts, tile_ends, data_sorted, rays)
+    )(tile_starts, tile_ends, wdata, rays)
 
 
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
@@ -386,6 +410,7 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
               res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
+    wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _backward_kernel, degree=degree,
         min_transmittance=min_transmittance, min_response=min_response,
@@ -404,24 +429,27 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
-            pltpu.VMEM((CHUNK, ROW_F), jnp.float32),
+            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
+            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    g_data = pl.pallas_call(
+    g_windows = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(data_sorted.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_should_interpret(),
-    )(tile_starts, tile_ends, data_sorted, rays, out, g_out)
-    # Rows past the last tile end were never written: mask them.
+    )(tile_starts, tile_ends, wdata, rays, out, g_out)
+    g_data = _from_windows(g_windows)
+    # Rows outside [first tile start, last tile end) were never written by the
+    # kernel: mask them. (With tile-sharded calls — parallel/dp.py — the local
+    # tile ranges need not start at row 0.)
     cap = data_sorted.shape[0]
     slot = jnp.arange(cap, dtype=jnp.int32)
-    written = slot < jnp.max(tile_ends)
+    written = (slot >= jnp.min(tile_starts)) & (slot < jnp.max(tile_ends))
     g_data = jnp.where(written[:, None], g_data, 0.0)
     return g_data, None, None, None
 

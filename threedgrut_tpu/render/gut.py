@@ -87,11 +87,9 @@ def prepare(
     colors = precomputed_features(positions, features, cam_center, sh_degree)
     packed = pack_particles(positions, quats, scales, opacities, colors)
 
+    assert isect_capacity % tile_raster.CHUNK == 0, (
+        f"isect_capacity must be a multiple of {tile_raster.CHUNK}")
     data_sorted = packed[binning.sorted_particle_idx]          # [cap, 16]
-    data_sorted = jnp.concatenate(
-        [data_sorted,
-         jnp.zeros((tile_raster.CHUNK, tile_raster.ROW_F), packed.dtype)],
-        axis=0)
     return proj, binning, data_sorted, tile_grid
 
 
