@@ -132,8 +132,8 @@ class Trainer:
             self.cfg_key, True)
         self.global_step += 1
         if self.strategy is not None:
-            self.strategy.post_backward(self, aux)
-            self.strategy.post_optimizer_step(self, aux)
+            self.strategy.post_backward(self, view, aux)
+            self.strategy.post_optimizer_step(self, view, aux)
         return aux
 
     def eval_view(self, view) -> Dict[str, Any]:
