@@ -1,0 +1,325 @@
+"""3DGRT-capability path: volumetric Gaussian tracing for ARBITRARY rays.
+
+Reference semantics: threedgrt_tracer/ — an OptiX BVH over per-particle proxy
+primitives returns hits in ascending distance (16-deep register k-buffer per
+trace, re-launched until the transmittance floor); per-hit response/alpha/
+depth math is gaussianParticles.cuh:326-394, with the proxy-intersection gate
+grayDist <= hitMaxParticleSquaredDistance = 9 (intersectCustomParticle:
+396-436) and per-ray SH radiance along the actual ray direction.
+
+TPU-native design (SURVEY.md §7.1 — no BVH, no OptiX):
+  * Rays are grouped into fixed-size BUNDLES. Each bundle builds a
+    conservative cone (apex spread + origin spread) and culls particles by
+    their world-space iso-response bounding radius — the role of the BVH,
+    replaced by a dense [bundles x N] test that XLA vectorizes.
+  * Candidates are compacted per bundle to a static capacity C via a
+    (reject, depth)-keyed sort (overflow reported as data, like tile binning).
+  * Per ray, ALL candidate hits are evaluated with the exact shared response
+    math (ops/particles.py), sorted by the reference's hit distance (scaled
+    projection of the center), and composited front-to-back — per-ray EXACT
+    ordering, which the reference only approximates in 16-hit windows.
+  * SH radiance is evaluated per (ray, particle) direction — the reference's
+    PerRayParticleFeatures=true path, required for secondary rays.
+
+This path is differentiable end-to-end via plain JAX autodiff (no custom
+kernel yet; the [B, C] einsum/sort batch is MXU/VPU friendly).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from threedgrut_tpu import constants as C
+from threedgrut_tpu.ops import particles as particle_ops
+from threedgrut_tpu.ops import sh as sh_ops
+
+
+class TraceResult(NamedTuple):
+    rgb: jnp.ndarray            # [R, 3]
+    opacity: jnp.ndarray        # [R]
+    depth: jnp.ndarray          # [R]
+    transmittance: jnp.ndarray  # [R]
+    hit_count: jnp.ndarray      # [R]
+    overflow: jnp.ndarray       # [] bool — candidate capacity exceeded
+    visibility: jnp.ndarray     # [N] bool — particle entered some bundle list
+
+
+def bounding_radius(scales: jnp.ndarray, opacities: jnp.ndarray,
+                    kernel_degree: int,
+                    min_alpha: float = C.MIN_ALPHA,
+                    min_response: float = C.MIN_KERNEL_RESPONSE):
+    """World-space radius of the iso-response surface at the acceptance
+    threshold (the reference's proxy-primitive size, particlePrimitives.cu).
+
+    response(d) * opacity >= min_alpha AND response(d) >= min_response, with
+    response(d) = exp(s_n d^(n/2)); canonical sq distance additionally gated
+    at MAX_PARTICLE_SQ_DISTANCE."""
+    s = C.GG_SCALE[kernel_degree]
+    resp_floor = jnp.maximum(min_alpha / jnp.maximum(opacities, 1e-12),
+                             min_response)
+    resp_floor = jnp.minimum(resp_floor, 0.9999)
+    if kernel_degree == 0:
+        rc = (1.0 - resp_floor) / (-s)
+        d_max = rc * rc
+    else:
+        d_max = jnp.power(jnp.log(resp_floor) / s, 2.0 / kernel_degree)
+    d_max = jnp.minimum(d_max, C.MAX_PARTICLE_SQ_DISTANCE)
+    return jnp.max(scales, axis=-1) * jnp.sqrt(d_max)
+
+
+class Bundles(NamedTuple):
+    origin: jnp.ndarray      # [nb, 3] mean origin
+    direction: jnp.ndarray   # [nb, 3] normalized mean direction
+    base_radius: jnp.ndarray  # [nb] max |o_r - o_b|
+    tan_spread: jnp.ndarray  # [nb] max tangent of ray-to-axis angle
+    coherent: jnp.ndarray    # [nb] bool — cone test is meaningful
+
+
+# A bundle whose rays deviate more than ~72 degrees from the mean axis has no
+# usable cone; fall back to accepting every particle (exactness > speed).
+_MIN_BUNDLE_COS = 0.3
+
+
+def make_bundles(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                 bundle_size: int) -> Bundles:
+    nb = rays_o.shape[0] // bundle_size
+    o = rays_o.reshape(nb, bundle_size, 3)
+    d = rays_d.reshape(nb, bundle_size, 3)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ob = jnp.mean(o, axis=1)
+    db = jnp.mean(d, axis=1)
+    db = db / jnp.maximum(jnp.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+    base = jnp.max(jnp.linalg.norm(o - ob[:, None], axis=-1), axis=1)
+    cosang = jnp.einsum("nbi,ni->nb", d, db)
+    coherent = jnp.min(cosang, axis=1) > _MIN_BUNDLE_COS
+    cosang = jnp.clip(cosang, _MIN_BUNDLE_COS, 1.0)
+    sinang = jnp.sqrt(jnp.clip(1.0 - cosang * cosang, 0.0, 1.0))
+    tan = jnp.max(sinang / cosang, axis=1)
+    return Bundles(origin=ob, direction=db, base_radius=base,
+                   tan_spread=tan, coherent=coherent)
+
+
+def bundle_candidates(
+    positions: jnp.ndarray,   # [N, 3]
+    radius: jnp.ndarray,      # [N]
+    valid: jnp.ndarray,       # [N] bool (e.g. alive & opacity > 0)
+    bundles: Bundles,
+    capacity: int,
+):
+    """Conservative cone test + per-bundle compaction.
+
+    Returns (cand_idx [nb, capacity] int32, cand_mask [nb, capacity] bool,
+    overflow [] bool, visibility [N] bool)."""
+    v = positions[None, :, :] - bundles.origin[:, None, :]     # [nb, N, 3]
+    t_ax = jnp.einsum("bni,bi->bn", v, bundles.direction)      # [nb, N]
+    d_ax_sq = jnp.sum(v * v, axis=-1) - t_ax * t_ax
+    d_ax = jnp.sqrt(jnp.maximum(d_ax_sq, 0.0))
+    limit = (radius[None, :] + bundles.base_radius[:, None]
+             + jnp.maximum(t_ax, 0.0) * bundles.tan_spread[:, None])
+    cone_ok = (d_ax <= limit) & (t_ax >= -radius[None, :])
+    hit = valid[None, :] & (cone_ok | ~bundles.coherent[:, None])
+
+    counts = jnp.sum(hit.astype(jnp.int32), axis=1)            # [nb]
+    overflow = jnp.any(counts > capacity)
+
+    # Compact: sort each bundle row by (miss, t_ax); winners first, by depth.
+    key = jnp.where(hit, t_ax, jnp.inf)
+    n = positions.shape[0]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), key.shape)
+    _, sorted_idx = jax.lax.sort((key, idx), num_keys=1, dimension=1)
+    cand_idx = sorted_idx[:, :capacity]
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    cand_mask = slot[None, :] < jnp.minimum(counts, capacity)[:, None]
+    visibility = jnp.any(hit, axis=0)
+    return cand_idx, cand_mask, overflow, visibility
+
+
+def trace(
+    positions: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    features: jnp.ndarray,    # [N, K, 3]
+    rays_o: jnp.ndarray,      # [R, 3]
+    rays_d: jnp.ndarray,      # [R, 3] (unit norm)
+    sh_degree: int = 3,
+    kernel_degree: int = C.KERNEL_DEGREE_3DGRT,
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGRT,
+    bundle_size: int = 256,
+    candidate_capacity: int = 2048,
+    initial_transmittance: jnp.ndarray | float = 1.0,
+) -> TraceResult:
+    """Trace arbitrary rays through the Gaussian mixture.
+
+    R must be a multiple of bundle_size (pad rays if needed). Rays with
+    zero-norm directions are treated as inactive (return zeros)."""
+    r_total = rays_o.shape[0]
+    assert r_total % bundle_size == 0
+    nb = r_total // bundle_size
+
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    active = (dnorm[..., 0] > 1e-12)
+    rays_dn = rays_d / jnp.maximum(dnorm, 1e-12)
+
+    radius = bounding_radius(scales, opacities, kernel_degree)
+    valid = opacities >= C.MIN_ALPHA
+    bundles = make_bundles(rays_o, jnp.where(active[:, None], rays_dn,
+                                             jnp.ones_like(rays_dn)
+                                             / math.sqrt(3.0)),
+                           bundle_size)
+    cand_idx, cand_mask, overflow, visibility = bundle_candidates(
+        positions, radius, valid, bundles, candidate_capacity)
+
+    o_b = rays_o.reshape(nb, bundle_size, 3)
+    d_b = rays_dn.reshape(nb, bundle_size, 3)
+    act_b = active.reshape(nb, bundle_size)
+    if isinstance(initial_transmittance, (int, float)):
+        t0_b = jnp.full((nb, bundle_size), float(initial_transmittance))
+    else:
+        t0_b = initial_transmittance.reshape(nb, bundle_size)
+
+    def one_bundle(args):
+        ci, cm, o, d, act, t0 = args
+        p = positions[ci]          # [C, 3]
+        q = quats[ci]
+        s = scales[ci]
+        op = jnp.where(cm, opacities[ci], 0.0)
+        f = features[ci]           # [C, K, 3]
+
+        hit = particle_ops.particle_hit(
+            p[None, :, :], q[None, :, :], s[None, :, :], op[None, :],
+            o[:, None, :], d[:, None, :], kernel_degree)
+        # Proxy-primitive gates: in front of the origin, within the canonical
+        # slab (intersectCustomParticle, gaussianParticles.cuh:396-436).
+        gro, grd = particle_ops.canonical_ray(
+            p[None, :, :], q[None, :, :], s[None, :, :],
+            o[:, None, :], d[:, None, :])
+        proj = jnp.sum(grd * (-gro), axis=-1)
+        gcrod = jnp.cross(grd, gro)
+        gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
+        front = proj > 0.0
+        slab = gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE
+        alpha = jnp.where(front & slab & cm[None, :] & act[:, None],
+                          hit.alpha, 0.0)                      # [B, C]
+
+        # Per-ray SH radiance along the actual ray direction (clamped at use).
+        colors = jnp.maximum(sh_ops.radiance_from_sh(
+            sh_degree, f[None], jnp.broadcast_to(
+                d[:, None, :], (bundle_size,) + p.shape)), 0.0)  # [B, C, 3]
+
+        # Exact per-ray depth order.
+        sort_t = jnp.where(alpha > 0.0, hit.hit_t, jnp.inf)
+        order = jnp.argsort(sort_t, axis=-1)
+        alpha_s = jnp.take_along_axis(alpha, order, axis=-1)
+        t_s = jnp.take_along_axis(hit.hit_t, order, axis=-1)
+        col_s = jnp.take_along_axis(colors, order[..., None], axis=-2)
+
+        from threedgrut_tpu.ops.compositing import composite
+        res = composite(alpha_s, col_s, t_s, min_transmittance, t0)
+        return (res.rgb, res.opacity, res.depth, res.transmittance,
+                res.hit_count.astype(jnp.float32))
+
+    rgb, opacity, depth, transmittance, hits = jax.lax.map(
+        one_bundle, (cand_idx, cand_mask, o_b, d_b, act_b, t0_b))
+
+    return TraceResult(
+        rgb=rgb.reshape(r_total, 3),
+        opacity=opacity.reshape(r_total),
+        depth=depth.reshape(r_total),
+        transmittance=transmittance.reshape(r_total),
+        hit_count=hits.reshape(r_total),
+        overflow=overflow,
+        visibility=visibility,
+    )
+
+
+def trace_naive(
+    positions, quats, scales, opacities, features, rays_o, rays_d,
+    sh_degree: int = 3,
+    kernel_degree: int = C.KERNEL_DEGREE_3DGRT,
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGRT,
+) -> TraceResult:
+    """O(R*N) oracle: every particle against every ray, exact sort. The
+    correctness reference for the bundle-culled fast path."""
+    r = rays_o.shape[0]
+    n = positions.shape[0]
+    d = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True),
+                             1e-12)
+    hit = particle_ops.particle_hit(
+        positions[None], quats[None], scales[None], opacities[None],
+        rays_o[:, None, :], d[:, None, :], kernel_degree)
+    gro, grd = particle_ops.canonical_ray(
+        positions[None], quats[None], scales[None],
+        rays_o[:, None, :], d[:, None, :])
+    proj = jnp.sum(grd * (-gro), axis=-1)
+    gcrod = jnp.cross(grd, gro)
+    gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
+    alpha = jnp.where((proj > 0.0)
+                      & (gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE),
+                      hit.alpha, 0.0)
+    colors = jnp.maximum(sh_ops.radiance_from_sh(
+        sh_degree, features[None],
+        jnp.broadcast_to(d[:, None, :], (r, n, 3))), 0.0)
+    sort_t = jnp.where(alpha > 0.0, hit.hit_t, jnp.inf)
+    order = jnp.argsort(sort_t, axis=-1)
+    alpha_s = jnp.take_along_axis(alpha, order, axis=-1)
+    t_s = jnp.take_along_axis(hit.hit_t, order, axis=-1)
+    col_s = jnp.take_along_axis(colors, order[..., None], axis=-2)
+    from threedgrut_tpu.ops.compositing import composite
+    res = composite(alpha_s, col_s, t_s, min_transmittance)
+    return TraceResult(
+        rgb=res.rgb, opacity=res.opacity, depth=res.depth,
+        transmittance=res.transmittance,
+        hit_count=res.hit_count.astype(jnp.float32),
+        overflow=jnp.bool_(False),
+        visibility=jnp.any(alpha > 0.0, axis=0),
+    )
+
+
+def render(
+    positions, quats, scales, opacities, features,
+    cam, pose, resolution: Tuple[int, int],
+    sh_degree: int = 3,
+    kernel_degree: int = C.KERNEL_DEGREE_3DGRT,
+    min_transmittance: float = C.MIN_TRANSMITTANCE_3DGRT,
+    bundle_size: int = 256,
+    candidate_capacity: int = 2048,
+    T_to_world: jnp.ndarray | None = None,
+):
+    """Camera render through the trace path (render.method = 3dgrt).
+
+    Returns (RenderOutputs, overflow) like gut.render. Bundles are the 16x16
+    pixel tiles of the padded image grid."""
+    from threedgrut_tpu.render import gut
+    from threedgrut_tpu.render.gut_reference import RenderOutputs
+
+    w, h = resolution
+    wp, hp = gut.pad_to_tiles(resolution)
+    tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
+    rays = gut.packed_world_rays(cam, pose, tile_grid, T_to_world)
+    ray_o = rays[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)
+    ray_d = rays[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)
+
+    out = trace(positions, quats, scales, opacities, features, ray_o, ray_d,
+                sh_degree, kernel_degree, min_transmittance,
+                bundle_size=C.TILE_SIZE,
+                candidate_capacity=candidate_capacity)
+
+    def unflat(x, ch=None):
+        img = x.reshape(tile_grid[1] * tile_grid[0], C.TILE_SIZE, -1)
+        img = gut.tile_unpack(img.transpose(0, 2, 1), tile_grid)
+        return img[:h, :w]
+
+    rgb = unflat(out.rgb)
+    outputs = RenderOutputs(
+        rgb=rgb,
+        opacity=unflat(out.opacity)[..., 0],
+        depth=unflat(out.depth)[..., 0],
+        transmittance=unflat(out.transmittance)[..., 0],
+        hit_count=unflat(out.hit_count)[..., 0],
+        visibility=out.visibility,
+    )
+    return outputs, out.overflow

@@ -48,13 +48,23 @@ def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
     def loss_fn(fields: Dict[str, jnp.ndarray]):
         p = params.replace(**fields)
         pos, quats, scales, opac, feats = render_params(p)
-        out, overflow = gut.render(
-            pos, quats, scales, opac, feats, camera, pose, resolution,
-            cfg.render.isect_capacity, sh_degree=sh_degree,
-            kernel_degree=cfg.render.particle_kernel_degree,
-            min_transmittance=cfg.render.min_transmittance,
-            tile_culling=cfg.render.tile_culling,
-            T_to_world=T_to_world)
+        if cfg.render.method == "3dgrt":
+            from threedgrut_tpu.render import grt
+            out, overflow = grt.render(
+                pos, quats, scales, opac, feats, camera, pose, resolution,
+                sh_degree=sh_degree,
+                kernel_degree=cfg.render.particle_kernel_degree,
+                min_transmittance=cfg.render.min_transmittance,
+                candidate_capacity=cfg.render.isect_capacity // 256,
+                T_to_world=T_to_world)
+        else:
+            out, overflow = gut.render(
+                pos, quats, scales, opac, feats, camera, pose, resolution,
+                cfg.render.isect_capacity, sh_degree=sh_degree,
+                kernel_degree=cfg.render.particle_kernel_degree,
+                min_transmittance=cfg.render.min_transmittance,
+                tile_culling=cfg.render.tile_culling,
+                T_to_world=T_to_world)
         pred = background.compose(out.rgb, out.opacity,
                                   cfg.model.background_color, train=True,
                                   key=key)
