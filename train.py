@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Train CLI.
+
+Mirrors the reference entry surface (train.py + Hydra, SURVEY.md Appendix A):
+    python train.py --config-name nerf_synthetic_3dgut path=data/lego \
+        out_dir=runs experiment_name=lego [any.config.key=value ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config-name", default="nerf_synthetic_3dgut",
+                    help="preset name (see threedgrut_tpu.config.PRESETS)")
+    ap.add_argument("overrides", nargs="*",
+                    help="dotted config overrides key=value; special keys: "
+                         "path, out_dir, experiment_name, resume")
+    args = ap.parse_args(argv)
+
+    from threedgrut_tpu import config as config_mod
+    special = {}
+    dotted = []
+    for ov in args.overrides:
+        key = ov.split("=", 1)[0]
+        if key in ("path", "out_dir", "experiment_name", "resume"):
+            special[key] = ov.split("=", 1)[1]
+        else:
+            dotted.append(ov)
+    cfg = config_mod.make(args.config_name, dotted)
+    cfg.dataset.path = special.get("path", cfg.dataset.path)
+    cfg.out_dir = special.get("out_dir", cfg.out_dir)
+    cfg.experiment_name = special.get("experiment_name", cfg.experiment_name)
+    cfg.resume = special.get("resume", cfg.resume)
+    if "nerf" in args.config_name:
+        cfg.dataset.type = "nerf"
+    elif "scannetpp" in args.config_name:
+        cfg.dataset.type = "scannetpp"
+    elif "colmap" in args.config_name:
+        cfg.dataset.type = "colmap"
+
+    if not cfg.dataset.path:
+        ap.error("dataset path required: path=/path/to/scene")
+
+    from threedgrut_tpu import datasets, optimizers
+    from threedgrut_tpu.model import gaussians
+    from threedgrut_tpu.trainer import Trainer
+
+    train_split = "train"
+    val_split = "val" if cfg.dataset.type in ("colmap", "scannetpp") else "test"
+    dataset = datasets.make(cfg.dataset.type, cfg.dataset.path,
+                            split=train_split,
+                            downsample_factor=cfg.dataset.downsample_factor)
+    try:
+        val_dataset = datasets.make(
+            cfg.dataset.type, cfg.dataset.path, split=val_split,
+            downsample_factor=cfg.dataset.downsample_factor)
+        if len(val_dataset) == 0:
+            val_dataset = None
+    except FileNotFoundError:
+        val_dataset = None
+
+    out_dir = os.path.join(cfg.out_dir, cfg.experiment_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if cfg.resume:
+        trainer = Trainer.load_checkpoint(cfg.resume, dataset=dataset,
+                                          val_dataset=val_dataset)
+    else:
+        if hasattr(dataset, "initialization_points"):
+            xyz, rgb = dataset.initialization_points()
+            params = gaussians.init_from_points(
+                xyz, colors=rgb,
+                observer_points=dataset.observer_points,
+                capacity=cfg.model.capacity)
+        else:
+            n_init = 100_000 if cfg.model.capacity is None else min(
+                100_000, cfg.model.capacity)
+            params = gaussians.init_random(
+                n_init, max_sh_degree=cfg.model.max_sh_degree,
+                capacity=cfg.model.capacity)
+        strategy = None
+        if cfg.strategy.method == "gs":
+            from threedgrut_tpu.strategy.gs import GSStrategy
+            strategy = GSStrategy(cfg.strategy, params.capacity)
+        elif cfg.strategy.method == "mcmc":
+            from threedgrut_tpu.strategy.mcmc import MCMCStrategy
+            strategy = MCMCStrategy(cfg.strategy, cfg.optimizer,
+                                    params.capacity)
+        trainer = Trainer(cfg, dataset, val_dataset=val_dataset,
+                          params=params, strategy=strategy)
+
+    print(f"training {cfg.experiment_name}: {len(dataset)} views, "
+          f"{int(trainer.params.num_active())} particles, "
+          f"method={cfg.render.method}", flush=True)
+    trainer.run(out_dir=out_dir)
+
+    # Final export (reference trainer.on_training_end).
+    from threedgrut_tpu.export.ply import export_ply
+    export_ply(trainer.params, os.path.join(out_dir, "export_last.ply"))
+    if val_dataset is not None:
+        print("final validation:", trainer.validate(), flush=True)
+    print(f"done; artifacts in {out_dir}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
