@@ -1,0 +1,124 @@
+"""Playground hybrid path tracer: mesh intersection, materials, engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedgrut_tpu.playground import engine as eng_mod
+from threedgrut_tpu.playground import materials as mat_mod
+from threedgrut_tpu.playground import mesh as mesh_mod
+from threedgrut_tpu.playground.envmap import filmic_tonemap, sample_envmap
+from tests.test_gut_reference import random_scene
+
+
+def test_mesh_intersect_quad():
+    quad = mesh_mod.make_quad([0, 0, 2.0], [1, 0, 0], [0, 1, 0])
+    o = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 0.0], [0.2, -0.3, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
+    hit = mesh_mod.intersect(quad, o, d)
+    np.testing.assert_allclose(hit.t[0], 2.0, atol=1e-5)
+    assert hit.material_id[1] == -1          # misses to the side
+    np.testing.assert_allclose(hit.t[2], 2.0, atol=1e-5)
+    # Normal points along -z or +z.
+    assert abs(abs(float(hit.normal[0, 2])) - 1.0) < 1e-5
+
+
+def test_mesh_intersect_closest_of_two():
+    near = mesh_mod.make_quad([0, 0, 1.0], [1, 0, 0], [0, 1, 0], material_id=0)
+    far = mesh_mod.make_quad([0, 0, 3.0], [1, 0, 0], [0, 1, 0], material_id=1)
+    m = mesh_mod.merge_meshes([near, far])
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    hit = mesh_mod.intersect(m, o, d)
+    np.testing.assert_allclose(hit.t[0], 1.0, atol=1e-5)
+    assert int(hit.material_id[0]) == 0
+
+
+def test_icosphere_and_obj(tmp_path):
+    sph = mesh_mod.make_icosphere([0, 0, 0], 1.0, subdivisions=1)
+    assert sph.num_faces == 80
+    # OBJ round trip.
+    path = tmp_path / "m.obj"
+    v = np.asarray(sph.vertices)
+    f = np.asarray(sph.faces)
+    with open(path, "w") as fh:
+        for p in v:
+            fh.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for tri in f:
+            fh.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+    m2 = mesh_mod.load_obj(str(path))
+    assert m2.num_faces == 80
+    # Ray through the center hits at t = dist - radius.
+    hit = mesh_mod.intersect(m2, jnp.asarray([[0., 0., -3.]]),
+                             jnp.asarray([[0., 0., 1.]]))
+    np.testing.assert_allclose(hit.t[0], 2.0, atol=1e-2)
+
+
+def test_materials_mirror_and_glass():
+    mats = mat_mod.make_materials([
+        dict(kind=mat_mod.MaterialKind.MIRROR, base_color=(0.9, 0.9, 0.9)),
+        dict(kind=mat_mod.MaterialKind.GLASS, ior=1.5),
+    ])
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 2)
+    n = jnp.asarray([[0.0, 0.0, -1.0]] * 2)
+    env = jnp.ones((2, 3))
+    nd, atten, emitted, cont = mat_mod.bounce(
+        mats, jnp.asarray([0, 1]), d, n, env)
+    np.testing.assert_allclose(nd[0], [0, 0, -1], atol=1e-6)  # reflect back
+    np.testing.assert_allclose(nd[1], [0, 0, 1], atol=1e-6)   # straight through
+    assert bool(cont[0]) and bool(cont[1])
+
+
+def test_envmap_sampling():
+    env = jnp.zeros((8, 16, 3)).at[:, :, 0].set(1.0)
+    c = sample_envmap(env, jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(c[:, 0], 1.0, atol=1e-5)
+    assert float(filmic_tonemap(jnp.asarray(0.0))) == 0.0
+    assert 0.7 < float(filmic_tonemap(jnp.asarray(1.0))) <= 1.0
+
+
+def test_engine_gaussians_only():
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=1)
+    from tests.test_cameras import make_pinhole
+    cfg = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=48)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    out = e.render(cam, jnp.eye(4), (16, 16))
+    assert out["rgb"].shape == (16, 16, 3)
+    assert float(out["opacity"].max()) > 0.1
+
+
+def test_engine_with_mirror_floor():
+    """Gaussian scene above a mirror: reflected rays pick up radiance that a
+    single-bounce render cannot see."""
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=2)
+    from tests.test_cameras import make_pinhole
+    mirror = mesh_mod.make_quad([0.0, 1.2, 3.0], [4.0, 0, 0], [0, 0, 4.0],
+                                material_id=0)
+    mats = mat_mod.make_materials(
+        [dict(kind=mat_mod.MaterialKind.MIRROR, base_color=(1.0, 1.0, 1.0))])
+    cfg = eng_mod.EngineConfig(max_bounces=3, candidate_capacity=48)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, mesh=mirror,
+                       materials=mats, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    out = e.render(cam, jnp.eye(4), (16, 16))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+    cfg1 = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=48)
+    e1 = eng_mod.Engine(pos, quat, scale, opa, feats, mesh=mirror,
+                        materials=mats, config=cfg1)
+    out1 = e1.render(cam, jnp.eye(4), (16, 16))
+    # More bounces gather at least as much radiance.
+    assert float(out["rgb"].sum()) >= float(out1["rgb"].sum()) - 1e-5
+
+
+def test_engine_spp_and_envmap():
+    pos, quat, scale, opa, feats = random_scene(n=24, seed=3)
+    from tests.test_cameras import make_pinhole
+    env = jnp.ones((4, 8, 3)) * 0.25
+    cfg = eng_mod.EngineConfig(max_bounces=1, spp=2, candidate_capacity=24)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, envmap=env, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    out = e.render(cam, jnp.eye(4), (16, 16), key=jax.random.PRNGKey(7))
+    # Fully transparent pixels see the environment (0.25 through miss path).
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert float(out["rgb"].min()) >= 0.0

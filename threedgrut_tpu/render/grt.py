@@ -151,11 +151,15 @@ def trace(
     bundle_size: int = 256,
     candidate_capacity: int = 2048,
     initial_transmittance: jnp.ndarray | float = 1.0,
+    t_max: jnp.ndarray | None = None,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
     R must be a multiple of bundle_size (pad rays if needed). Rays with
-    zero-norm directions are treated as inactive (return zeros)."""
+    zero-norm directions are treated as inactive (return zeros). `t_max` [R]
+    limits integration to hits with hit_t <= t_max (for hybrid rendering:
+    Gaussians in the segment before a mesh hit, reference
+    threedgrut_playground/src/playgroundKernel.cu trace loop)."""
     r_total = rays_o.shape[0]
     assert r_total % bundle_size == 0
     nb = r_total // bundle_size
@@ -180,9 +184,13 @@ def trace(
         t0_b = jnp.full((nb, bundle_size), float(initial_transmittance))
     else:
         t0_b = initial_transmittance.reshape(nb, bundle_size)
+    if t_max is None:
+        tmax_b = jnp.full((nb, bundle_size), jnp.inf)
+    else:
+        tmax_b = t_max.reshape(nb, bundle_size)
 
     def one_bundle(args):
-        ci, cm, o, d, act, t0 = args
+        ci, cm, o, d, act, t0, tmx = args
         p = positions[ci]          # [C, 3]
         q = quats[ci]
         s = scales[ci]
@@ -202,7 +210,8 @@ def trace(
         gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
         front = proj > 0.0
         slab = gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE
-        alpha = jnp.where(front & slab & cm[None, :] & act[:, None],
+        in_seg = hit.hit_t <= tmx[:, None]
+        alpha = jnp.where(front & slab & in_seg & cm[None, :] & act[:, None],
                           hit.alpha, 0.0)                      # [B, C]
 
         # Per-ray SH radiance along the actual ray direction (clamped at use).
@@ -223,7 +232,7 @@ def trace(
                 res.hit_count.astype(jnp.float32))
 
     rgb, opacity, depth, transmittance, hits = jax.lax.map(
-        one_bundle, (cand_idx, cand_mask, o_b, d_b, act_b, t0_b))
+        one_bundle, (cand_idx, cand_mask, o_b, d_b, act_b, t0_b, tmax_b))
 
     return TraceResult(
         rgb=rgb.reshape(r_total, 3),
