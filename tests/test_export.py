@@ -62,3 +62,40 @@ def test_ingp_half_precision(tmp_path):
     np.testing.assert_allclose(
         np.asarray(q.positions)[:10],
         np.asarray(p.positions)[np.asarray(p.alive)], atol=2e-3)
+
+
+def test_usdz_export(tmp_path):
+    import gzip, io, zipfile
+    import msgpack
+    from threedgrut_tpu.export import usdz
+
+    p = make_params()
+    path = str(tmp_path / "model.usdz")
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    usdz.export_usdz(p, path, dataset_poses=poses)
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        assert names[0].endswith(".usda")  # first entry must be a USD layer
+        assert any(n.endswith(".nurec") for n in names)
+        usda = z.read(names[0]).decode()
+        assert "#usda 1.0" in usda
+        nurec = [n for n in names if n.endswith(".nurec")][0]
+        blob = msgpack.unpackb(gzip.decompress(z.read(nurec)), raw=False)
+    sd = blob["nre_data"]["state_dict"]
+    assert sd[".gaussians_nodes.gaussians.positions.shape"] == [10, 3]
+    pos = np.frombuffer(sd[".gaussians_nodes.gaussians.positions"],
+                        np.float16).reshape(10, 3)
+    np.testing.assert_allclose(
+        pos, np.asarray(p.positions)[np.asarray(p.alive)], atol=2e-3)
+
+
+def test_normalizing_transform():
+    from threedgrut_tpu.export.usdz import estimate_normalizing_transform
+    rng = np.random.default_rng(0)
+    poses = np.stack([np.eye(4)] * 5)
+    poses[:, :3, 3] = rng.normal(size=(5, 3)) + 10.0
+    T = estimate_normalizing_transform(poses)
+    # Mean camera maps to the origin.
+    mean = poses[:, :3, 3].mean(0)
+    out = T[:3, :3] @ mean + T[:3, 3]
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)

@@ -106,12 +106,14 @@ class Trainer:
     """Single-accelerator trainer (the multi-chip path lives in parallel/)."""
 
     def __init__(self, cfg: Config, dataset, val_dataset=None,
-                 params: Optional[Gaussians] = None, strategy=None):
+                 params: Optional[Gaussians] = None, strategy=None,
+                 writer=None):
         self.cfg = cfg
         self.cfg_key = _register_cfg(cfg)
         self.dataset = dataset
         self.val_dataset = val_dataset
         self.strategy = strategy
+        self.writer = writer
         self.scene_extent = float(dataset.scene_extent)
         self.global_step = 0
         self.params = params
@@ -178,13 +180,29 @@ class Trainer:
                 rate = self.global_step / (time.time() - t0)
                 print(f"step {self.global_step:6d} loss {loss:.4f} "
                       f"psnr {psnr:.2f} it/s {rate:.1f}", flush=True)
+                if self.writer is not None:
+                    self.writer.scalars(aux["terms"], self.global_step,
+                                        prefix="train/loss_")
+                    self.writer.scalar("train/psnr", psnr, self.global_step)
+                    self.writer.scalar("train/num_particles",
+                                       int(self.params.num_active()),
+                                       self.global_step)
+                    self.writer.scalar("train/it_per_s", rate,
+                                       self.global_step)
             if out_dir and self.global_step in self.cfg.train.checkpoint_iterations:
                 self.save_checkpoint(out_dir)
             if (self.cfg.train.val_frequency
                     and self.global_step % self.cfg.train.val_frequency == 0
                     and self.val_dataset is not None):
-                print(f"val @ {self.global_step}: {self.validate()}",
-                      flush=True)
+                metrics = self.validate()
+                print(f"val @ {self.global_step}: {metrics}", flush=True)
+                if self.writer is not None:
+                    self.writer.scalars(metrics, self.global_step,
+                                        prefix="val/")
+                    aux_v = self.eval_view(self.val_dataset[0])
+                    self.writer.image("val/pred",
+                                      np.asarray(aux_v["pred"]),
+                                      self.global_step)
         if out_dir:
             self.save_checkpoint(out_dir, name="ckpt_last")
         return self

@@ -65,10 +65,13 @@ def main(argv=None):
 
     out_dir = os.path.join(cfg.out_dir, cfg.experiment_name)
     os.makedirs(out_dir, exist_ok=True)
+    from threedgrut_tpu.utils.writer import MetricsWriter
+    writer = MetricsWriter(cfg.out_dir, cfg.experiment_name)
 
     if cfg.resume:
         trainer = Trainer.load_checkpoint(cfg.resume, dataset=dataset,
                                           val_dataset=val_dataset)
+        trainer.writer = writer
     else:
         if hasattr(dataset, "initialization_points"):
             xyz, rgb = dataset.initialization_points()
@@ -91,7 +94,7 @@ def main(argv=None):
             strategy = MCMCStrategy(cfg.strategy, cfg.optimizer,
                                     params.capacity)
         trainer = Trainer(cfg, dataset, val_dataset=val_dataset,
-                          params=params, strategy=strategy)
+                          params=params, strategy=strategy, writer=writer)
 
     print(f"training {cfg.experiment_name}: {len(dataset)} views, "
           f"{int(trainer.params.num_active())} particles, "
@@ -103,6 +106,7 @@ def main(argv=None):
     export_ply(trainer.params, os.path.join(out_dir, "export_last.ply"))
     if val_dataset is not None:
         print("final validation:", trainer.validate(), flush=True)
+    writer.close()
     print(f"done; artifacts in {out_dir}", flush=True)
     return 0
 
