@@ -122,3 +122,49 @@ def test_engine_spp_and_envmap():
     # Fully transparent pixels see the environment (0.25 through miss path).
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert float(out["rgb"].min()) >= 0.0
+
+
+def test_gut_tmax_segment_bound():
+    """Per-ray t_max in the rasterizer: zero/None = unbounded; a tight bound
+    removes opacity."""
+    import jax.numpy as jnp
+    from tests.test_cameras import IDENTITY_POSE, make_pinhole
+    from threedgrut_tpu.render import gut
+    pos, quat, scale, opa, feats = random_scene(n=64, seed=5)
+    cam = make_pinhole(f=60.0, cx=16.0, cy=16.0)
+    res = (32, 32)
+    base, _ = gut.render(pos, quat, scale, opa, feats, cam, IDENTITY_POSE,
+                         res, 4096)
+    unbounded, _ = gut.render(pos, quat, scale, opa, feats, cam,
+                              IDENTITY_POSE, res, 4096,
+                              t_max=jnp.zeros(res[::-1]))
+    np.testing.assert_allclose(np.asarray(unbounded.rgb),
+                               np.asarray(base.rgb), atol=1e-6)
+    tight, _ = gut.render(pos, quat, scale, opa, feats, cam, IDENTITY_POSE,
+                          res, 4096, t_max=jnp.full(res[::-1], 2.0))
+    assert float(tight.opacity.sum()) < float(base.opacity.sum())
+    none_vis, _ = gut.render(pos, quat, scale, opa, feats, cam,
+                             IDENTITY_POSE, res, 4096,
+                             t_max=jnp.full(res[::-1], 1e-3))
+    np.testing.assert_allclose(np.asarray(none_vis.opacity), 0.0, atol=1e-6)
+
+
+def test_hybrid_render():
+    """Hybrid 3DGRUT: rasterized primary + traced mirror reflection."""
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=4)
+    from tests.test_cameras import make_pinhole
+    mirror = mesh_mod.make_quad([0.0, 0.0, 5.0], [3.0, 0, 0], [0, 3.0, 0],
+                                material_id=0)
+    mats = mat_mod.make_materials(
+        [dict(kind=mat_mod.MaterialKind.MIRROR, base_color=(1.0, 1.0, 1.0))])
+    cfg = eng_mod.EngineConfig(max_bounces=2, candidate_capacity=48)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, mesh=mirror,
+                       materials=mats, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    out = e.render_hybrid(cam, jnp.eye(4), (16, 16))
+    assert out["rgb"].shape == (16, 16, 3)
+    assert not bool(out["overflow"])
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    # The mirror plane at z=5 bounds primary depth (slanted rays reach
+    # up to 5/cos(fov)).
+    assert float(out["depth"].max()) <= 6.0

@@ -127,9 +127,9 @@ class ColmapDataset:
         if self._cache[idx] is not None:
             return self._cache[idx]
         im = self.images[idx]
-        from PIL import Image
+        from threedgrut_tpu.datasets.dataset_nerf import _load_image
         img_path = os.path.join(self.images_dir, im.name)
-        img = np.asarray(Image.open(img_path), np.float32) / 255.0
+        img = _load_image(img_path)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, -1)
         img = img[..., :3]

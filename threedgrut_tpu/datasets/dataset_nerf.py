@@ -17,9 +17,18 @@ from threedgrut_tpu.cameras import PinholeCamera
 from threedgrut_tpu.datasets.protocols import View, camera_bbox_extent
 
 
+_LOADER = None
+
+
 def _load_image(path: str) -> np.ndarray:
-    from PIL import Image
-    img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    """Decode via the native C++ threaded loader (PIL fallback inside)."""
+    global _LOADER
+    if _LOADER is None:
+        from threedgrut_tpu.datasets.native_loader import ImageLoader
+        _LOADER = ImageLoader(n_threads=8)
+    img = _LOADER.get(path)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
     return img
 
 

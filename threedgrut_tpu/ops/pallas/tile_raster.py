@@ -29,7 +29,8 @@ with u = A (o - mean), v = A d:
   unit-norm world ray directions).
 
 Rays are packed per tile as [num_tiles, 8, 256]: rows 0-2 origin xyz,
-rows 3-5 direction xyz (unit norm), rows 6-7 padding.
+rows 3-5 direction xyz (unit norm), row 6 per-ray t_max (<= 0 means
+unbounded; used by the hybrid renderer to stop at mesh hits), row 7 padding.
 Forward output is [num_tiles, 8, 256]: rows 0-2 rgb, 3 opacity, 4 depth,
 5 transmittance, 6 hit count, 7 padding.
 """
@@ -115,15 +116,19 @@ def _pair_quantities(S, rays, degree):
     alpha_raw = resp * opacity
     vdotu = v[0] * u[0] + v[1] * u[1] + v[2] * u[2]
     hit_t = jnp.abs(vdotu) * inv_vsq
+    # Per-ray segment bound (row 6): t_max <= 0 means unbounded.
+    tmax = rays[6, :][None, :]
+    in_segment = (tmax <= 0.0) | (hit_t <= tmax)
     return dict(u=u, v=v, cr=cr, crsq=crsq, vsq=vsq, inv_vsq=inv_vsq, g=g,
                 resp=resp, dresp_dg=dresp_dg, opacity=opacity,
                 alpha_raw=alpha_raw, vdotu=vdotu, hit_t=hit_t, w0=w0, d=d,
-                a=a)
+                a=a, in_segment=in_segment)
 
 
 def _alpha_from_raw(q, row_mask, min_response, min_alpha, max_alpha):
     alpha = jnp.minimum(q["alpha_raw"], max_alpha)
-    accept = ((q["resp"] > min_response) & (alpha > min_alpha) & row_mask)
+    accept = ((q["resp"] > min_response) & (alpha > min_alpha) & row_mask
+              & q["in_segment"])
     return jnp.where(accept, alpha, 0.0), accept
 
 

@@ -180,6 +180,83 @@ class Engine:
 
         return radiance[:r], total_opacity[:r], first_depth[:r]
 
+    # -- hybrid 3DGRUT: rasterized primary + traced secondary --------------
+    def render_hybrid(self, cam: Camera, T_to_world: jnp.ndarray,
+                      resolution: Tuple[int, int],
+                      key: Optional[jax.Array] = None
+                      ) -> Dict[str, jnp.ndarray]:
+        """The reference's hybrid mode (README.md 3DGRUT): primary rays are
+        RASTERIZED with 3DGUT (segment-bounded by mesh hits via the per-ray
+        t_max ray channel), secondary reflection/refraction rays are TRACED
+        with the 3DGRT path. Consistent because both evaluate the identical
+        3D ray-space response."""
+        cfg = self.cfg
+        w, h = resolution
+        pos, quats, scales, opac, feats = self.gaussians
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pose = pose_from_matrix(T_to_world)
+        wp, hp = gut.pad_to_tiles(resolution)
+        tile_grid = (wp // 16, hp // 16)
+
+        # Primary camera rays on the padded grid (matching the raster grid).
+        rays_pk = gut.packed_world_rays(cam, pose, tile_grid, T_to_world)
+        o = rays_pk[:, 0:3, :].transpose(0, 2, 1).reshape(-1, 3)
+        d = rays_pk[:, 3:6, :].transpose(0, 2, 1).reshape(-1, 3)
+        mh = mesh_mod.intersect(self.mesh, o, d)
+
+        tmax_img = gut.tile_unpack(
+            jnp.where(jnp.isfinite(mh.t), mh.t, 0.0)
+            .reshape(tile_grid[1] * tile_grid[0], 256, 1)
+            .transpose(0, 2, 1), tile_grid)[..., 0]
+        outputs, overflow = gut.render(
+            pos, quats, scales, opac, feats, cam, pose, resolution,
+            cfg.candidate_capacity * 256, sh_degree=cfg.sh_degree,
+            kernel_degree=2, min_transmittance=cfg.min_transmittance,
+            T_to_world=T_to_world, t_max=tmax_img)
+
+        def unflat(x):
+            img = x.reshape(tile_grid[1] * tile_grid[0], 256, -1)
+            return gut.tile_unpack(img.transpose(0, 2, 1), tile_grid)
+
+        t_img = unflat(jnp.where(jnp.isfinite(mh.t), mh.t, 0.0))[..., 0]
+        hit_img = unflat((mh.material_id >= 0)
+                         .astype(jnp.float32))[..., 0] > 0.5
+        radiance = outputs.rgb
+        trans = outputs.transmittance[..., None]
+
+        # Mesh shading + traced continuation (flat over padded rays).
+        env_at_n = env_mod.sample_envmap(self.envmap, mh.normal,
+                                         default_color=(1.0, 1.0, 1.0))
+        nd, atten, emitted, cont = mat_mod.bounce(
+            self.materials, mh.material_id, d, mh.normal, env_at_n)
+        hit_mesh = mh.material_id >= 0
+        hit_p = o + d * jnp.where(jnp.isfinite(mh.t), mh.t, 0.0)[:, None]
+        cont_mask = hit_mesh & cont
+        sec_o = hit_p + nd * 1e-4
+        sec_d = jnp.where(cont_mask[:, None], nd, 0.0)
+        sec_rgb, _, _ = self._trace_pass(sec_o, sec_d, sec_o.shape[0])
+
+        emitted_img = unflat(jnp.where(hit_mesh[:, None], emitted, 0.0))
+        atten_img = unflat(jnp.where(cont_mask[:, None], atten, 0.0))
+        sec_img = unflat(sec_rgb)
+        radiance = radiance + trans * (emitted_img[:h, :w]
+                                       + atten_img[:h, :w] * sec_img[:h, :w])
+
+        # Environment through fully transparent non-mesh pixels.
+        env_bg = env_mod.sample_envmap(self.envmap, d)
+        env_img = unflat(jnp.where(~hit_mesh[:, None], env_bg, 0.0))
+        radiance = radiance + trans * env_img[:h, :w]
+
+        rgb = radiance
+        if cfg.tonemap:
+            rgb = env_mod.filmic_tonemap(rgb)
+        if cfg.gamma != 1.0:
+            rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), 1.0 / cfg.gamma)
+        return {"rgb": rgb, "opacity": outputs.opacity,
+                "depth": jnp.where(hit_img[:h, :w], t_img[:h, :w],
+                                   outputs.depth),
+                "overflow": overflow}
+
     # -- public API --------------------------------------------------------
     def render(self, cam: Camera, T_to_world: jnp.ndarray,
                resolution: Tuple[int, int],

@@ -93,8 +93,12 @@ def prepare(
     return proj, binning, data_sorted, tile_grid
 
 
-def packed_world_rays(cam, pose, tile_grid, T_to_world=None):
-    """World-space rays on the tile-padded grid, packed [T, 8, 256]."""
+def packed_world_rays(cam, pose, tile_grid, T_to_world=None, t_max=None):
+    """World-space rays on the tile-padded grid, packed [T, 8, 256].
+
+    `t_max` [hp, wp] optionally bounds each ray's integration segment
+    (row 6; <= 0 means unbounded) — the hybrid renderer passes mesh hit
+    distances here."""
     wp, hp = (tile_grid[0] * C.TILE_X, tile_grid[1] * C.TILE_Y)
     ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
     if T_to_world is None:
@@ -108,9 +112,13 @@ def packed_world_rays(cam, pose, tile_grid, T_to_world=None):
         t = T_to_world[:3, 3]
     ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
     ray_d = ray_d_c.reshape(-1, 3) @ R.T
+    if t_max is None:
+        tmax_img = jnp.zeros((hp, wp, 1))
+    else:
+        tmax_img = jnp.where(jnp.isfinite(t_max), t_max, 0.0)[..., None]
     rays_img = jnp.concatenate([
         ray_o.reshape(hp, wp, 3), ray_d.reshape(hp, wp, 3),
-        jnp.zeros((hp, wp, 2))], axis=-1)
+        tmax_img, jnp.zeros((hp, wp, 1))], axis=-1)
     return tile_pack(rays_img, tile_grid)                      # [T, 8, 256]
 
 
@@ -130,17 +138,24 @@ def render(
     min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT,
     tile_culling: bool = True,
     T_to_world: jnp.ndarray | None = None,
+    t_max: jnp.ndarray | None = None,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
     `isect_capacity` is a static bound on tile intersections; `overflow`
-    reports (as data) whether the true count exceeded it.
+    reports (as data) whether the true count exceeded it. `t_max` [h, w]
+    optionally bounds each ray's integration segment (hybrid rendering).
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
         positions, quats, scales, opacities, features, cam, pose, resolution,
         isect_capacity, shutter, sh_degree, tile_culling)
-    rays = packed_world_rays(cam, pose, tile_grid, T_to_world)
+    if t_max is not None and t_max.shape != (tile_grid[1] * 16,
+                                             tile_grid[0] * 16):
+        pad_h = tile_grid[1] * 16 - t_max.shape[0]
+        pad_w = tile_grid[0] * 16 - t_max.shape[1]
+        t_max = jnp.pad(t_max, ((0, pad_h), (0, pad_w)))
+    rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max)
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
