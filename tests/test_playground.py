@@ -168,3 +168,48 @@ def test_hybrid_render():
     # The mirror plane at z=5 bounds primary depth (slanted rays reach
     # up to 5/cos(fov)).
     assert float(out["depth"].max()) <= 6.0
+
+
+def test_playground_cli_from_ply(tmp_path):
+    """playground.py loads a PLY scene and renders a frame headless, and the
+    web viewer serves the page + a frame over HTTP."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import playground as pg_cli
+    from threedgrut_tpu.export.ply import export_ply
+    from threedgrut_tpu.model import gaussians as G
+
+    rng = np.random.default_rng(0)
+    n = 32
+    params = G.from_arrays(
+        rng.normal(0, 0.4, (n, 3)).astype(np.float32),
+        rng.normal(size=(n, 4)).astype(np.float32),
+        np.full((n, 3), np.log(0.1), np.float32),
+        np.full((n, 1), 1.0, np.float32),
+        rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        np.zeros((n, 45), np.float32), capacity=32)
+    ply_path = str(tmp_path / "scene.ply")
+    export_ply(params, ply_path)
+    rc = pg_cli.main(["--gs_object", ply_path, "--resolution", "32", "32",
+                      "--max_bounces", "1", "--no-serve"])
+    assert rc == 0
+
+
+def test_web_viewer_http(tmp_path):
+    import urllib.request
+    from threedgrut_tpu.playground.web_viewer import WebViewer
+    pos, quat, scale, opa, feats = random_scene(n=24, seed=9, z=0.0)
+    cfg = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=24)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, config=cfg)
+    viewer = WebViewer(e, resolution=(32, 32))
+    server = viewer.serve(port=18321, blocking=False)
+    try:
+        page = urllib.request.urlopen(
+            "http://127.0.0.1:18321/", timeout=30).read()
+        assert b"threedgrut_tpu viewer" in page
+        img = urllib.request.urlopen(
+            "http://127.0.0.1:18321/render?yaw=0.5&pitch=0.3&radius=3",
+            timeout=60).read()
+        assert img[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        server.shutdown()
