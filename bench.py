@@ -11,6 +11,11 @@ size is scaled down; `vs_baseline` is only meaningful on TPU.
 """
 from __future__ import annotations
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/jax_comp"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import json
 import time
 
