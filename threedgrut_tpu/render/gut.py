@@ -93,25 +93,44 @@ def prepare(
     return proj, binning, data_sorted, tile_grid
 
 
-def packed_world_rays(cam, pose, tile_grid, T_to_world=None, t_max=None):
+def packed_world_rays(cam, pose, tile_grid, T_to_world=None, t_max=None,
+                      shutter: ShutterType = ShutterType.GLOBAL):
     """World-space rays on the tile-padded grid, packed [T, 8, 256].
 
     `t_max` [hp, wp] optionally bounds each ray's integration segment
     (row 6; <= 0 means unbounded) — the hybrid renderer passes mesh hit
-    distances here."""
+    distances here. With a rolling `shutter`, each pixel's ray uses the pose
+    slerped to its shutter time (reference rayPayload.cuh ray init +
+    sensors.h pose interpolation)."""
+    from threedgrut_tpu.cameras import relative_shutter_time
     wp, hp = (tile_grid[0] * C.TILE_X, tile_grid[1] * C.TILE_Y)
     ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
-    if T_to_world is None:
-        q_inv = quaternion.normalize(jnp.stack(
-            [pose.q_start[0], -pose.q_start[1], -pose.q_start[2],
-             -pose.q_start[3]]))
-        R = quaternion.to_rotation_matrix(q_inv)
-        t = camera_center_world(pose)
+    if shutter != ShutterType.GLOBAL:
+        # Per-pixel camera->world pose at the pixel's shutter time.
+        xs = jnp.arange(wp, dtype=jnp.float32) + 0.5
+        ys = jnp.arange(hp, dtype=jnp.float32) + 0.5
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+        alpha = relative_shutter_time(shutter, (wp, hp),
+                                      jnp.stack([gx, gy], -1))  # [hp, wp]
+        q = quaternion.slerp(pose.q_start, pose.q_end, alpha[..., None])
+        t_w2c = (pose.t_start * (1.0 - alpha[..., None])
+                 + pose.t_end * alpha[..., None])
+        q_inv = jnp.concatenate([q[..., :1], -q[..., 1:]], axis=-1)
+        q_inv = quaternion.normalize(q_inv)
+        ray_d = quaternion.rotate(q_inv, ray_d_c).reshape(-1, 3)
+        ray_o = (-quaternion.rotate(q_inv, t_w2c)).reshape(-1, 3)
     else:
-        R = T_to_world[:3, :3]
-        t = T_to_world[:3, 3]
-    ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
-    ray_d = ray_d_c.reshape(-1, 3) @ R.T
+        if T_to_world is None:
+            q_inv = quaternion.normalize(jnp.stack(
+                [pose.q_start[0], -pose.q_start[1], -pose.q_start[2],
+                 -pose.q_start[3]]))
+            R = quaternion.to_rotation_matrix(q_inv)
+            t = camera_center_world(pose)
+        else:
+            R = T_to_world[:3, :3]
+            t = T_to_world[:3, 3]
+        ray_o = ray_o_c.reshape(-1, 3) @ R.T + t
+        ray_d = ray_d_c.reshape(-1, 3) @ R.T
     if t_max is None:
         tmax_img = jnp.zeros((hp, wp, 1))
     else:
@@ -155,7 +174,8 @@ def render(
         pad_h = tile_grid[1] * 16 - t_max.shape[0]
         pad_w = tile_grid[0] * 16 - t_max.shape[1]
         t_max = jnp.pad(t_max, ((0, pad_h), (0, pad_w)))
-    rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max)
+    rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max,
+                             shutter=shutter)
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,

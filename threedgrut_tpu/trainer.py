@@ -38,12 +38,19 @@ def render_params(g: Gaussians):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "sh_degree", "cfg_key", "train"))
+    static_argnames=("resolution", "sh_degree", "cfg_key", "train",
+                     "shutter"))
 def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                mask, key, scene_extent, resolution, sh_degree, cfg_key,
-               train: bool):
+               train: bool, shutter=0, T_end=None):
+    from threedgrut_tpu.cameras import SensorPose, ShutterType
     cfg: Config = _CFG_REGISTRY[cfg_key]
     pose = pose_from_matrix(T_to_world)
+    shutter = ShutterType(shutter)
+    if T_end is not None:
+        pose_end = pose_from_matrix(T_end)
+        pose = SensorPose(q_start=pose.q_start, t_start=pose.t_start,
+                          q_end=pose_end.q_start, t_end=pose_end.t_start)
 
     def loss_fn(fields: Dict[str, jnp.ndarray]):
         p = params.replace(**fields)
@@ -60,7 +67,8 @@ def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
         else:
             out, overflow = gut.render(
                 pos, quats, scales, opac, feats, camera, pose, resolution,
-                cfg.render.isect_capacity, sh_degree=sh_degree,
+                cfg.render.isect_capacity, shutter=shutter,
+                sh_degree=sh_degree,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
                 tile_culling=cfg.render.tile_culling,
@@ -138,10 +146,13 @@ class Trainer:
     def train_step(self, view) -> Dict[str, Any]:
         T, cam, gt, mask = self._view_arrays(view)
         self.key, sub = jax.random.split(self.key)
+        T_end = (jnp.asarray(view.pose_end)
+                 if getattr(view, "pose_end", None) is not None else None)
         self.params, self.opt_state, aux = _step_impl(
             self.params, self.opt_state, T, cam, gt, mask, sub,
             self.scene_extent, view.resolution, self.active_sh_degree(),
-            self.cfg_key, True)
+            self.cfg_key, True, shutter=int(getattr(view, "shutter", 0)),
+            T_end=T_end)
         self.global_step += 1
         if self.strategy is not None:
             self.strategy.post_backward(self, view, aux)
@@ -150,10 +161,13 @@ class Trainer:
 
     def eval_view(self, view) -> Dict[str, Any]:
         T, cam, gt, mask = self._view_arrays(view)
+        T_end = (jnp.asarray(view.pose_end)
+                 if getattr(view, "pose_end", None) is not None else None)
         _, _, aux = _step_impl(
             self.params, self.opt_state, T, cam, gt, mask,
             jax.random.PRNGKey(0), self.scene_extent, view.resolution,
-            self.active_sh_degree(), self.cfg_key, False)
+            self.active_sh_degree(), self.cfg_key, False,
+            shutter=int(getattr(view, "shutter", 0)), T_end=T_end)
         return aux
 
     def validate(self) -> Dict[str, float]:
