@@ -139,3 +139,16 @@ def test_train_with_3dgrt_method():
     tr.run(iterations=15, log_every=0)
     after = tr.validate()["psnr"]
     assert after > before, (before, after)
+
+
+def test_trace_normals():
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=10)
+    o, d = coherent_rays()
+    out = grt.trace(pos, quat, scale, opa, feats, o, d,
+                    candidate_capacity=48, return_normals=True)
+    n = np.asarray(out.normal)
+    assert n.shape == (256, 3)
+    assert np.isfinite(n).all()
+    # Where rays hit something, normals have nonzero magnitude.
+    hit = np.asarray(out.opacity) > 0.3
+    assert np.linalg.norm(n[hit], axis=-1).min() > 1e-3

@@ -80,7 +80,7 @@ def test_dp_step_matches_single_device(setup):
         scale = max(1e-6, float(np.abs(np.asarray(g_sd[f])).max()))
         np.testing.assert_allclose(
             np.asarray(metrics["grads"][f]), np.asarray(g_sd[f]),
-            atol=1e-4 * scale + 1e-8, err_msg=f)
+            atol=2e-4 * scale + 5e-8, err_msg=f)
     assert not bool(metrics["overflow"])
 
 

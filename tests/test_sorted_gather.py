@@ -1,0 +1,66 @@
+"""sorted_gather custom backward must equal the scatter-add transpose."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedgrut_tpu.ops.sorted_gather import sorted_gather
+
+
+def make_case(n=20, cap=64, seed=0, overflow=False):
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 5, n).astype(np.int32)
+    ends = np.cumsum(counts).astype(np.int32)
+    total = int(ends[-1])
+    if overflow:
+        cap = max(8, total - 6)
+    # Expansion-order particle per slot.
+    pidx = np.zeros(cap, np.int32)
+    for p in range(n):
+        s, e = ends[p] - counts[p], min(ends[p], cap)
+        pidx[s:min(e, cap)] = p
+    # Random permutation as "sorted order".
+    perm = rng.permutation(cap).astype(np.int32)
+    sorted_idx = pidx[perm]
+    packed = rng.normal(size=(n, 16)).astype(np.float32)
+    return (jnp.asarray(packed), jnp.asarray(sorted_idx), jnp.asarray(perm),
+            jnp.asarray(ends), jnp.asarray(counts), cap, total)
+
+
+def naive_vjp(packed, sorted_idx, g, cap, total, pidx_valid):
+    # Scatter-add transpose masked to real slots.
+    g = jnp.where(pidx_valid[:, None], g, 0.0)
+    return jnp.zeros_like(packed).at[sorted_idx].add(g)
+
+
+def check(seed, overflow):
+    packed, sorted_idx, perm, ends, counts, cap, total = make_case(
+        seed=seed, overflow=overflow)
+    g = jnp.asarray(np.random.default_rng(seed + 100)
+                    .normal(size=(cap, 16)).astype(np.float32))
+    # valid slots: expansion slot < min(total, cap)
+    valid = perm < min(total, cap)
+    g = jnp.where(valid[:, None], g, 0.0)
+
+    _, vjp = jax.vjp(
+        lambda p: sorted_gather(p, sorted_idx, perm, ends, counts), packed)
+    g_custom = vjp(g)[0]
+    g_ref = naive_vjp(packed, sorted_idx, g, cap, total, valid)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_matches_scatter():
+    for seed in range(4):
+        check(seed, overflow=False)
+
+
+def test_matches_scatter_overflow():
+    for seed in range(4):
+        check(seed, overflow=True)
+
+
+def test_forward_is_gather():
+    packed, sorted_idx, perm, ends, counts, cap, total = make_case(seed=7)
+    out = sorted_gather(packed, sorted_idx, perm, ends, counts)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(packed)[np.asarray(sorted_idx)])

@@ -138,6 +138,6 @@ def particle_normal(
     t_surf = proj - jnp.sqrt(jnp.maximum(ellipsoid_sq_radius - gray_dist, 0.0))
     p = gro + grd * t_surf[..., None]
     # (R * scale) applied: world-space gradient direction of the ellipsoid.
-    n_world = (p * scale) @ R.T
+    n_world = jnp.einsum("...ij,...j->...i", R, p * scale)
     norm = jnp.linalg.norm(n_world, axis=-1, keepdims=True)
     return n_world / jnp.maximum(norm, eps)

@@ -38,6 +38,10 @@ class TileBinning(NamedTuple):
     tile_ends: jnp.ndarray            # [num_tiles] int32
     num_intersections: jnp.ndarray    # [] int32 (pre-clamp true total)
     overflow: jnp.ndarray             # [] bool — true total exceeded capacity
+    perm: jnp.ndarray                 # [isect_capacity] int32 expansion slot
+                                      # at each sorted position
+    particle_ends: jnp.ndarray        # [N] int32 cumsum of per-particle counts
+    particle_counts: jnp.ndarray      # [N] int32
 
 
 def bin_particles(
@@ -98,8 +102,8 @@ def bin_particles(
     tile_key = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, a[:, 4], big)
 
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_key, depth_key, pidx_c), num_keys=2)
+    sorted_tile, _, sorted_idx, perm = jax.lax.sort(
+        (tile_key, depth_key, pidx_c, slot), num_keys=2)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -112,4 +116,7 @@ def bin_particles(
         tile_ends=tends,
         num_intersections=total,
         overflow=overflow,
+        perm=perm,
+        particle_ends=ends,
+        particle_counts=counts,
     )

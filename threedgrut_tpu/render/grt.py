@@ -45,6 +45,7 @@ class TraceResult(NamedTuple):
     hit_count: jnp.ndarray      # [R]
     overflow: jnp.ndarray       # [] bool — candidate capacity exceeded
     visibility: jnp.ndarray     # [N] bool — particle entered some bundle list
+    normal: jnp.ndarray | None = None  # [R, 3] alpha-weighted surface normal
 
 
 def bounding_radius(scales: jnp.ndarray, opacities: jnp.ndarray,
@@ -152,6 +153,7 @@ def trace(
     candidate_capacity: int = 2048,
     initial_transmittance: jnp.ndarray | float = 1.0,
     t_max: jnp.ndarray | None = None,
+    return_normals: bool = False,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -228,10 +230,20 @@ def trace(
 
         from threedgrut_tpu.ops.compositing import composite
         res = composite(alpha_s, col_s, t_s, min_transmittance, t0)
+        if return_normals:
+            # Alpha-weighted iso-surface normals (reference processHit
+            # normal accumulation, gaussianParticles.cuh).
+            nrm = particle_ops.particle_normal(
+                p[None, :, :], q[None, :, :], s[None, :, :],
+                o[:, None, :], d[:, None, :])
+            nrm_s = jnp.take_along_axis(nrm, order[..., None], axis=-2)
+            normal = jnp.einsum("bk,bkc->bc", res.weights, nrm_s)
+        else:
+            normal = jnp.zeros((bundle_size, 3))
         return (res.rgb, res.opacity, res.depth, res.transmittance,
-                res.hit_count.astype(jnp.float32))
+                res.hit_count.astype(jnp.float32), normal)
 
-    rgb, opacity, depth, transmittance, hits = jax.lax.map(
+    rgb, opacity, depth, transmittance, hits, normal = jax.lax.map(
         one_bundle, (cand_idx, cand_mask, o_b, d_b, act_b, t0_b, tmax_b))
 
     return TraceResult(
@@ -242,6 +254,7 @@ def trace(
         hit_count=hits.reshape(r_total),
         overflow=overflow,
         visibility=visibility,
+        normal=normal.reshape(r_total, 3) if return_normals else None,
     )
 
 

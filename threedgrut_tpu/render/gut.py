@@ -89,7 +89,10 @@ def prepare(
 
     assert isect_capacity % tile_raster.CHUNK == 0, (
         f"isect_capacity must be a multiple of {tile_raster.CHUNK}")
-    data_sorted = packed[binning.sorted_particle_idx]          # [cap, 16]
+    from threedgrut_tpu.ops.sorted_gather import sorted_gather
+    data_sorted = sorted_gather(packed, binning.sorted_particle_idx,
+                                binning.perm, binning.particle_ends,
+                                binning.particle_counts)       # [cap, 16]
     return proj, binning, data_sorted, tile_grid
 
 
