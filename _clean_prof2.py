@@ -57,3 +57,24 @@ def full_loss(pos,q,s,opa,feats,cam,T):
     return jnp.mean(out.rgb) + jnp.mean(out.opacity)
 fgf = jax.jit(jax.grad(full_loss, argnums=(0,1,2,3,4)))
 print("full fwd+bwd ms:", timeit(fgf, pos,q,s,opa,feats,cam,T), flush=True)
+
+# Breakdown of the backward chain.
+from threedgrut_tpu.ops import tiles as tile_ops2
+binning2 = jax.jit(lambda proj: tile_ops2.bin_particles(proj, (50,50), cap))(proj)
+from threedgrut_tpu.ops.sorted_gather import sorted_gather
+packedf = jax.jit(lambda pos,q,s,opa,feats: gut.pack_particles(pos, q, jnp.ones_like(s)*s, opa, feats[:, 0]))
+def sg_loss(packed):
+    return jnp.sum(sorted_gather(packed, binning2.sorted_particle_idx, binning2.perm, binning2.particle_ends, binning2.particle_counts))
+packed0 = jnp.ones((n, 16))
+sgf = jax.jit(jax.grad(sg_loss))
+print("sorted_gather fwd+bwd ms:", timeit(sgf, packed0), flush=True)
+def pack_loss(pos,q,s,opa,feats):
+    pk = gut.pack_particles(pos, q, s, opa, feats[:, 0])
+    return jnp.sum(pk * 0.5)
+pkf = jax.jit(jax.grad(pack_loss, argnums=(0,1,2,3)))
+print("pack fwd+bwd ms:", timeit(pkf, pos, q, s, opa, feats), flush=True)
+def proj_loss(pos,q,s,opa):
+    pr = proj_ops.project(pos,q,s,opa,cam,pose_from_matrix(T),0,res)
+    return jnp.sum(pr.center) + jnp.sum(pr.conic) + jnp.sum(pr.depth)
+prf = jax.jit(jax.grad(proj_loss, argnums=(0,1,2,3)))
+print("project fwd+bwd ms:", timeit(prf, pos, q, s, opa), flush=True)

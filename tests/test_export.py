@@ -99,3 +99,17 @@ def test_normalizing_transform():
     mean = poses[:, :3, 3].mean(0)
     out = T[:3, :3] @ mean + T[:3, 3]
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_ply_to_usd_script(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from scripts.ply_to_usd import main as ply2usd
+    from threedgrut_tpu.export.ply import export_ply
+    p = make_params()
+    ply_path = str(tmp_path / "m.ply")
+    export_ply(p, ply_path)
+    rc = ply2usd([ply_path])
+    assert rc == 0
+    import zipfile
+    assert zipfile.ZipFile(ply_path.replace(".ply", ".usdz")).namelist()

@@ -213,3 +213,19 @@ def test_web_viewer_http(tmp_path):
         assert img[:2] == b"\xff\xd8"  # JPEG magic
     finally:
         server.shutdown()
+
+
+def test_video_trajectory(tmp_path):
+    from threedgrut_tpu.playground import video
+    from tests.test_cameras import make_pinhole
+    pos, quat, scale, opa, feats = random_scene(n=16, seed=12, z=0.0)
+    cfg = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=16)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    traj = video.orbit_trajectory(3, radius=3.0)
+    out = video.render_video(e, cam, traj, (16, 16),
+                             str(tmp_path / "orbit.mp4"), fps=10)
+    import os
+    assert os.path.exists(out)
+    kf = video.keyframe_trajectory(traj, 5)
+    assert len(kf) == 5

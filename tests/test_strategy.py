@@ -185,3 +185,15 @@ def test_mcmc_strategy_end_to_end():
     tr.run(iterations=12, log_every=0)
     assert int(tr.params.num_active()) > 24  # grew 5%
     assert np.isfinite(float(tr.params.positions.sum()))
+
+
+def test_gs_prune_scale():
+    params = make_params(n=8, cap=16, density=3.0)
+    # Particle 0 huge, others small; camera behind the scene looking +z.
+    small = jnp.full_like(params.scale, jnp.log(0.01))
+    params = params.replace(scale=small.at[0].set(jnp.log(5.0)))
+    cam_pos = jnp.asarray([[0.0, 0.0, -5.0]])
+    cam_fwd = jnp.asarray([[0.0, 0.0, 1.0]])
+    p2 = gs.prune_scale(params, cam_pos, cam_fwd, jnp.float32(100.0), 30.0)
+    assert not bool(p2.alive[0])
+    assert int(p2.num_active()) == 7

@@ -204,17 +204,21 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
 
 
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
-                     gout_ref, gdata_hbm, dbuf, gbuf, sem, gsem, *,
+                     gout_ref, zeros_hbm, gdata_hbm, dbuf, gbuf, sem, gsem, *,
                      degree, min_transmittance, min_response, min_alpha,
                      max_alpha):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
     same layout (rows 0-2 d_rgb, 3 d_opacity, 4 d_depth, 5 d_transmittance).
-    Boundary windows are read-modify-written: rows outside [start, end) keep
-    the previously stored values (the preceding tile's gradients), which is
-    correct because grid programs run sequentially in ascending order.
+    The output buffer is donated pre-zeroed (input_output_aliases), so the
+    walk early-exits with the forward's transmittance criterion — untouched
+    windows keep zero gradients. Boundary windows are read-modify-written:
+    rows outside [start, end) keep the previously stored values (the
+    preceding tile's gradients), which is correct because grid programs run
+    sequentially in ascending order.
     """
+    del zeros_hbm  # aliased into gdata_hbm; only read through the alias
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -329,9 +333,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
 
     def cond(state):
         w, t_carry_v, _ = state
-        # No early exit: every row in [start, end) must receive its gradient
-        # (zeros included), because the output buffer is not pre-zeroed.
-        return w < w1
+        # Early exit mirrors the forward: once every ray's transmittance is
+        # below the floor no later hit has weight or gradient, and the
+        # pre-zeroed output already holds the correct (zero) values.
+        return (w < w1) & jnp.any(t_carry_v > min_transmittance)
 
     jax.lax.while_loop(
         cond, body,
@@ -431,6 +436,7 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # pre-zeroed output donor
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -440,22 +446,19 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    zeros = jnp.zeros(wdata.shape, jnp.float32)
     g_windows = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        # Alias the zeros donor (input index counts after the 2 scalar-
+        # prefetch operands: data, rays, out, g_out, zeros -> 6).
+        input_output_aliases={6: 0},
         interpret=_should_interpret(),
-    )(tile_starts, tile_ends, wdata, rays, out, g_out)
+    )(tile_starts, tile_ends, wdata, rays, out, g_out, zeros)
     g_data = _from_windows(g_windows)
-    # Rows outside [first tile start, last tile end) were never written by the
-    # kernel: mask them. (With tile-sharded calls — parallel/dp.py — the local
-    # tile ranges need not start at row 0.)
-    cap = data_sorted.shape[0]
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    written = (slot >= jnp.min(tile_starts)) & (slot < jnp.max(tile_ends))
-    g_data = jnp.where(written[:, None], g_data, 0.0)
     return g_data, None, None, None
 
 

@@ -148,6 +148,21 @@ def prune(params: Gaussians, opt_state: AdamState, state: GSState,
 
 
 @jax.jit
+def prune_scale(params: Gaussians, cam_positions: jnp.ndarray,
+                cam_forward: jnp.ndarray, max_focal: jnp.ndarray,
+                threshold: float):
+    """Screen-size pruning (reference gs.py:224-244): remove particles whose
+    projected min-scale/depth ratio exceeds `threshold` pixels for the
+    nearest camera. cam_positions/[K,3], cam_forward [K,3] unit view dirs."""
+    rel = params.positions[:, None, :] - cam_positions[None, :, :]
+    depth = jnp.einsum("nkc,kc->nk", rel, cam_forward)
+    min_depth = jnp.maximum(jnp.min(depth, axis=1), 1e-8)
+    ratio = jnp.min(params.get_scale(), axis=1) / min_depth * max_focal
+    keep = ratio < threshold
+    return params.replace(alive=params.alive & keep)
+
+
+@jax.jit
 def reset_density(params: Gaussians, reset_value: float):
     """density <- min(density, inverse_sigmoid(reset_value))
     (reference gs.py:291-306)."""
