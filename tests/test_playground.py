@@ -229,3 +229,33 @@ def test_video_trajectory(tmp_path):
     assert os.path.exists(out)
     kf = video.keyframe_trajectory(traj, 5)
     assert len(kf) == 5
+
+
+def test_training_gui_live(tmp_path):
+    """TrainingGUI serves frames rendered from the live trainer params."""
+    import urllib.request
+    from threedgrut_tpu.config import Config
+    from threedgrut_tpu.datasets.dataset_synthetic import SyntheticDataset
+    from threedgrut_tpu.gui import TrainingGUI
+    from threedgrut_tpu.model import gaussians
+    from threedgrut_tpu.trainer import Trainer
+
+    ds = SyntheticDataset(num_views=2, resolution=(16, 16),
+                          num_gt_gaussians=16, seed=3)
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 11
+    params = gaussians.init_from_points(np.asarray(ds.scene[0]), capacity=32)
+    tr = Trainer(cfg, ds, params=params)
+    gui = TrainingGUI(tr, port=18322, resolution=(16, 16))
+    try:
+        img = urllib.request.urlopen(
+            "http://127.0.0.1:18322/render?yaw=0.4&pitch=0.3&radius=4",
+            timeout=60).read()
+        assert img[:2] == b"\xff\xd8"
+        tr.run(iterations=2, log_every=0)
+        img2 = urllib.request.urlopen(
+            "http://127.0.0.1:18322/render?yaw=0.4&pitch=0.3&radius=4",
+            timeout=60).read()
+        assert img2[:2] == b"\xff\xd8"
+    finally:
+        gui.close()

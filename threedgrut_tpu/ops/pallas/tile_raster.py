@@ -165,12 +165,26 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
 
     rays = rays_ref[0]
 
+    # Double-buffered window DMA: fetch w+1 while computing w (the sequential
+    # per-window DMA wait would otherwise dominate: ~2us x #windows).
+    def dma(w, slot):
+        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(w0 < w1)
+    def _():
+        dma(w0, w0 % 2).start()
+
     def body(state):
         w, _ = state
-        cp = pltpu.make_async_copy(data_hbm.at[w], dbuf, sem)
-        cp.start()
-        cp.wait()
-        S = dbuf[:]
+        slot = w % 2
+        dma(w, slot).wait()
+
+        @pl.when(w + 1 < w1)
+        def _():
+            dma(w + 1, (w + 1) % 2).start()
+
+        S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
 
         q = _pair_quantities(S, rays, degree)
@@ -200,13 +214,19 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         w, alive = state
         return (w < w1) & alive
 
-    jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
+    wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
+
+    # Early exit may leave one started-but-unconsumed DMA; drain it so the
+    # semaphore is clean for the next grid step (scratch persists).
+    @pl.when(wf < w1)
+    def _():
+        dma(wf, wf % 2).wait()
 
 
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
-                     gout_ref, zeros_hbm, gdata_hbm, dbuf, gbuf, sem, gsem, *,
-                     degree, min_transmittance, min_response, min_alpha,
-                     max_alpha):
+                     gout_ref, zeros_hbm, gdata_hbm, dbuf, gbuf, sem, gsem,
+                     wsem, *, degree, min_transmittance, min_response,
+                     min_alpha, max_alpha):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
@@ -225,6 +245,19 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
     w0 = start // CHUNK
     w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
 
+    def dma_data(w, slot):
+        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
+                                     sem.at[slot])
+
+    def dma_gread(w, slot):
+        return pltpu.make_async_copy(gdata_hbm.at[w], gbuf.at[slot],
+                                     gsem.at[slot])
+
+    @pl.when(w0 < w1)
+    def _():
+        dma_data(w0, w0 % 2).start()
+        dma_gread(w0, w0 % 2).start()
+
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
     dO = gout_ref[0, 3, :][None, :]   # [1, PIX]
@@ -240,13 +273,16 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
 
     def body(state):
         w, t_carry_v, prefix_v = state
-        cp = pltpu.make_async_copy(data_hbm.at[w], dbuf, sem)
-        cp.start()
-        # Prefetch current gradient window for the boundary blend.
-        cpg = pltpu.make_async_copy(gdata_hbm.at[w], gbuf, gsem)
-        cpg.start()
-        cp.wait()
-        S = dbuf[:]
+        slot = w % 2
+        dma_data(w, slot).wait()
+        dma_gread(w, slot).wait()
+
+        @pl.when(w + 1 < w1)
+        def _():
+            dma_data(w + 1, (w + 1) % 2).start()
+            dma_gread(w + 1, (w + 1) % 2).start()
+
+        S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
 
         q = _pair_quantities(S, rays, degree)
@@ -319,10 +355,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         G = jnp.concatenate(rows + [gcol], axis=0)   # [ROW_F, CHUNK]
 
         # Boundary blend: keep previously stored values outside [start, end).
-        cpg.wait()
         keep = row_mask[:, 0][None, :]               # [1, CHUNK] over rows
-        gbuf[:] = jnp.where(keep, G, gbuf[:])
-        cpo = pltpu.make_async_copy(gbuf, gdata_hbm.at[w], gsem)
+        gbuf[slot] = jnp.where(keep, G, gbuf[slot])
+        cpo = pltpu.make_async_copy(gbuf.at[slot], gdata_hbm.at[w],
+                                    wsem)
         cpo.start()
         cpo.wait()
 
@@ -338,10 +374,16 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # pre-zeroed output already holds the correct (zero) values.
         return (w < w1) & jnp.any(t_carry_v > min_transmittance)
 
-    jax.lax.while_loop(
+    wf, _, _ = jax.lax.while_loop(
         cond, body,
         (w0, jnp.ones((PIX,), jnp.float32),
          jnp.zeros((PIX,), jnp.float32)))
+
+    # Drain any in-flight prefetches left by an early exit.
+    @pl.when(wf < w1)
+    def _():
+        dma_data(wf, wf % 2).wait()
+        dma_gread(wf, wf % 2).wait()
 
 
 def _should_interpret() -> bool:
@@ -395,8 +437,8 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -440,9 +482,10 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
-            pltpu.VMEM((ROW_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -16,6 +16,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config-name", default="nerf_synthetic_3dgut",
                     help="preset name (see threedgrut_tpu.config.PRESETS)")
+    ap.add_argument("--with-gui", action="store_true",
+                    help="serve a live web viewer during training")
+    ap.add_argument("--gui-port", type=int, default=8080)
     ap.add_argument("overrides", nargs="*",
                     help="dotted config overrides key=value; special keys: "
                          "path, out_dir, experiment_name, resume")
@@ -96,10 +99,16 @@ def main(argv=None):
         trainer = Trainer(cfg, dataset, val_dataset=val_dataset,
                           params=params, strategy=strategy, writer=writer)
 
+    gui = None
+    if args.with_gui:
+        from threedgrut_tpu.gui import TrainingGUI
+        gui = TrainingGUI(trainer, port=args.gui_port)
     print(f"training {cfg.experiment_name}: {len(dataset)} views, "
           f"{int(trainer.params.num_active())} particles, "
           f"method={cfg.render.method}", flush=True)
     trainer.run(out_dir=out_dir)
+    if gui is not None:
+        gui.close()
 
     # Final export (reference trainer.on_training_end).
     from threedgrut_tpu.export.ply import export_ply
