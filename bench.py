@@ -65,14 +65,38 @@ def main():
     mask = jnp.ones((res[1], res[0], 1), jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    def step(params, opt):
-        return _step_impl(params, opt, T, cam, gt, mask, key,
-                          jnp.float32(4.0), res, 3, cfg_key, True)
+    def make_step(capacity):
+        def step(params, opt):
+            return _step_impl(params, opt, T, cam, gt, mask, key,
+                              jnp.float32(4.0), res, 3, cfg_key, True,
+                              isect_capacity=capacity)
+        return step
 
-    # Warmup/compile.
+    # Capacity autotune: measure the true intersection count once, then
+    # rebuild with a ~15% headroom capacity (what the adaptive trainer
+    # converges to; the reference sizes its buffers from an exact D2H count
+    # readback every frame).
+    step = make_step(cap)
     p, o, aux = step(params, opt)
     jax.block_until_ready(p)
     overflow = bool(aux["overflow"])
+    if on_tpu and not overflow:
+        from threedgrut_tpu.render import gut as _gut
+        from threedgrut_tpu.cameras import pose_from_matrix as _pfm
+        import jax.numpy as _jnp
+        _, binning, _, _ = jax.jit(
+            lambda g: _gut.prepare(
+                g.get_positions(), g.get_rotation(), g.get_scale(),
+                g.get_density(), g.get_features(), cam, _pfm(T), res, cap))(
+            params)
+        total = int(binning.num_intersections)
+        tuned = max(256, -(-int(total * 1.15) // 256) * 256)
+        if tuned < cap:
+            cap = tuned
+            step = make_step(cap)
+            p, o, aux = step(params, opt)
+            jax.block_until_ready(p)
+            overflow = bool(aux["overflow"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -91,6 +115,7 @@ def main():
         "n_gaussians": n,
         "resolution": list(res),
         "iters": iters,
+        "isect_capacity": cap,
         "isect_overflow": overflow,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))

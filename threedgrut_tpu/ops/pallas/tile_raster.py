@@ -98,10 +98,21 @@ def _pair_quantities(S, rays, degree):
     p = [comp(9 + i) for i in range(3)]
     w0 = [o[i] - p[i] for i in range(3)]          # o - mean: [CHUNK, PIX]
     a = [comp(i) for i in range(9)]               # A row-major
-    u = [a[3 * r + 0] * w0[0] + a[3 * r + 1] * w0[1] + a[3 * r + 2] * w0[2]
-         for r in range(3)]
-    v = [a[3 * r + 0] * d[0] + a[3 * r + 1] * d[1] + a[3 * r + 2] * d[2]
-         for r in range(3)]
+    # u_r = A_r . (o - p) = (A_r @ O) - (A_r . p);  v_r = A_r @ D.
+    # The ray-dependent halves are k=3 matmuls on the MXU instead of 5-op
+    # VPU chains per component (the VPU is this kernel's bottleneck).
+    ao = [jax.lax.dot_general(
+        S[3 * r:3 * r + 3, :], rays[0:3, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) for r in range(3)]
+    ad = [jax.lax.dot_general(
+        S[3 * r:3 * r + 3, :], rays[3:6, :],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) for r in range(3)]
+    ap = [a[3 * r + 0] * p[0] + a[3 * r + 1] * p[1] + a[3 * r + 2] * p[2]
+          for r in range(3)]                      # [CHUNK, 1]
+    u = [ao[r] - ap[r] for r in range(3)]
+    v = ad
     cr = [v[1] * u[2] - v[2] * u[1],
           v[2] * u[0] - v[0] * u[2],
           v[0] * u[1] - v[1] * u[0]]              # v x u

@@ -39,14 +39,16 @@ def render_params(g: Gaussians):
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "sh_degree", "cfg_key", "train",
-                     "shutter"))
+                     "shutter", "isect_capacity"))
 def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                mask, key, scene_extent, resolution, sh_degree, cfg_key,
-               train: bool, shutter=0, T_end=None):
+               train: bool, shutter=0, T_end=None, isect_capacity=None):
     from threedgrut_tpu.cameras import SensorPose, ShutterType
     cfg: Config = _CFG_REGISTRY[cfg_key]
     pose = pose_from_matrix(T_to_world)
     shutter = ShutterType(shutter)
+    if isect_capacity is None:
+        isect_capacity = cfg.render.isect_capacity
     if T_end is not None:
         pose_end = pose_from_matrix(T_end)
         pose = SensorPose(q_start=pose.q_start, t_start=pose.t_start,
@@ -62,12 +64,12 @@ def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 sh_degree=sh_degree,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
-                candidate_capacity=cfg.render.isect_capacity // 256,
+                candidate_capacity=isect_capacity // 256,
                 T_to_world=T_to_world)
         else:
             out, overflow = gut.render(
                 pos, quats, scales, opac, feats, camera, pose, resolution,
-                cfg.render.isect_capacity, shutter=shutter,
+                isect_capacity, shutter=shutter,
                 sh_degree=sh_degree,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
@@ -127,6 +129,7 @@ class Trainer:
         self.params = params
         self.opt_state = optimizers.init(params) if params is not None else None
         self.key = jax.random.PRNGKey(cfg.train.seed)
+        self.isect_capacity = cfg.render.isect_capacity
         self.stats: Dict[str, Any] = {}
 
     # ---- progressive SH (reference trainer.py:764-766, model.py:573-580) ----
@@ -152,8 +155,16 @@ class Trainer:
             self.params, self.opt_state, T, cam, gt, mask, sub,
             self.scene_extent, view.resolution, self.active_sh_degree(),
             self.cfg_key, True, shutter=int(getattr(view, "shutter", 0)),
-            T_end=T_end)
+            T_end=T_end, isect_capacity=self.isect_capacity)
         self.global_step += 1
+        # Capacity growth on overflow (replaces the reference's grow-only
+        # CudaBuffer + D2H count readback, gutRenderer.cu:300-321): the step
+        # that overflowed is slightly truncated; subsequent steps retrace
+        # with doubled capacity.
+        if bool(aux["overflow"]):
+            self.isect_capacity *= 2
+            print(f"isect overflow at step {self.global_step}; capacity -> "
+                  f"{self.isect_capacity}", flush=True)
         if self.strategy is not None:
             self.strategy.post_backward(self, view, aux)
             self.strategy.post_optimizer_step(self, view, aux)
@@ -167,7 +178,8 @@ class Trainer:
             self.params, self.opt_state, T, cam, gt, mask,
             jax.random.PRNGKey(0), self.scene_extent, view.resolution,
             self.active_sh_degree(), self.cfg_key, False,
-            shutter=int(getattr(view, "shutter", 0)), T_end=T_end)
+            shutter=int(getattr(view, "shutter", 0)), T_end=T_end,
+            isect_capacity=self.isect_capacity)
         return aux
 
     def validate(self) -> Dict[str, float]:
@@ -261,6 +273,8 @@ class Trainer:
             trainer.strategy = strategy
             trainer.params = params
             trainer.key = jax.random.PRNGKey(cfg.train.seed)
+            trainer.isect_capacity = cfg.render.isect_capacity
+            trainer.writer = None
             trainer.stats = {}
         trainer.opt_state = optimizers.AdamState(
             step=jnp.asarray(data["opt_step"]),

@@ -110,11 +110,27 @@ def main(argv=None):
     if gui is not None:
         gui.close()
 
-    # Final export (reference trainer.on_training_end).
+    # Final export + test eval (reference trainer.on_training_end).
     from threedgrut_tpu.export.ply import export_ply
     export_ply(trainer.params, os.path.join(out_dir, "export_last.ply"))
+    try:
+        from threedgrut_tpu.export.ingp import export_ingp
+        export_ingp(trainer.params, os.path.join(out_dir, "export_last.ingp"))
+    except ImportError:
+        pass
+    try:
+        from threedgrut_tpu.export.usdz import export_usdz
+        export_usdz(trainer.params, os.path.join(out_dir, "export_last.usdz"),
+                    dataset_poses=getattr(dataset, "_poses", None))
+    except ImportError:
+        pass
     if val_dataset is not None:
-        print("final validation:", trainer.validate(), flush=True)
+        from threedgrut_tpu.render_eval import Renderer
+        summary = Renderer(trainer, val_dataset).render_all(
+            out_dir=os.path.join(out_dir, "test_renders"),
+            compute_lpips=False)
+        print("final test:", summary, flush=True)
+        writer.scalars(summary, trainer.global_step, prefix="test/")
     writer.close()
     print(f"done; artifacts in {out_dir}", flush=True)
     return 0
