@@ -104,11 +104,13 @@ def _pair_quantities(S, rays, degree):
     ao = [jax.lax.dot_general(
         S[3 * r:3 * r + 3, :], rays[0:3, :],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) for r in range(3)]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) for r in range(3)]
     ad = [jax.lax.dot_general(
         S[3 * r:3 * r + 3, :], rays[3:6, :],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) for r in range(3)]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) for r in range(3)]
     ap = [a[3 * r + 0] * p[0] + a[3 * r + 1] * p[1] + a[3 * r + 2] * p[2]
           for r in range(3)]                      # [CHUNK, 1]
     u = [ao[r] - ap[r] for r in range(3)]
@@ -154,7 +156,8 @@ def _tri_matmuls(x, strict_lower: bool):
     L = tri.astype(jnp.float32)
     return jax.lax.dot_general(
         L, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _row_mask(w, start, end):
@@ -210,7 +213,8 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
 
         rgb = jax.lax.dot_general(
             S[13:16, :], w_, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [3, PIX]
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [3, PIX]
         out_ref[0, 0:3, :] += rgb
         out_ref[0, 3, :] += jnp.sum(w_, axis=0)
         out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
@@ -308,7 +312,8 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # Per-hit pixel contribution q_j = c_j . dC + hitT_j * dD + dO.
         qj = jax.lax.dot_general(
             S[13:16, :], dC, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [CHUNK, PIX]
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [CHUNK, PIX]
         qj = qj + q["hit_t"] * dD + dO
 
         wq = w_ * qj
@@ -362,7 +367,8 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # dcolor = sum_pix w * dC_c  -> [3, CHUNK]
         gcol = jax.lax.dot_general(
             dC, w_, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
         G = jnp.concatenate(rows + [gcol], axis=0)   # [ROW_F, CHUNK]
 
         # Boundary blend: keep previously stored values outside [start, end).
