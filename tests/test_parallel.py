@@ -100,3 +100,42 @@ def test_dp_views_times_tiles(setup):
     np.testing.assert_array_equal(shards[0], shards[-1])
     # A second step runs (replication invariants hold under jit reuse).
     step(p2, o2, Ts, cams, gts, keys, jnp.float32(ds.scene_extent))
+
+
+def test_model_axis_matches_single_device(setup):
+    """Particle-sharded projection/packing (model axis) with tile sharding:
+    psummed gradient must still equal single-device autodiff."""
+    ds, params, cfg = setup
+    mesh = dp.make_mesh(8, tile_parallel=4, model_parallel=2)
+    step = dp.make_dp_train_step(cfg, mesh, RES, sh_degree=3,
+                                 debug_grads=True)
+    opt = optimizers.init(params)
+    Ts, cams, gts = _batch(ds, [0])
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    _, _, metrics = step(params, opt, Ts, cams, gts, keys,
+                         jnp.float32(ds.scene_extent))
+
+    from threedgrut_tpu import optimizers as opt_mod
+    from threedgrut_tpu.cameras import pose_from_matrix
+    from threedgrut_tpu.model import losses as losses_mod
+    from threedgrut_tpu.render import gut
+
+    cam0 = jax.tree.map(lambda x: x[0], cams)
+    pose = pose_from_matrix(Ts[0])
+
+    def loss_sd(fields):
+        p = params.replace(**fields)
+        out, _ = gut.render(p.get_positions(), p.get_rotation(),
+                            p.get_scale(), p.get_density(), p.get_features(),
+                            cam0, pose, RES, cfg.render.isect_capacity,
+                            sh_degree=3, T_to_world=Ts[0])
+        loss, _ = losses_mod.total_loss(out.rgb, gts[0])
+        return loss
+
+    fields = {f: getattr(params, f) for f in opt_mod.PARAM_FIELDS}
+    g_sd = jax.grad(loss_sd)(fields)
+    for f in opt_mod.PARAM_FIELDS:
+        scale = max(1e-6, float(np.abs(np.asarray(g_sd[f])).max()))
+        np.testing.assert_allclose(
+            np.asarray(metrics["grads"][f]), np.asarray(g_sd[f]),
+            atol=2e-4 * scale + 5e-8, err_msg=f)

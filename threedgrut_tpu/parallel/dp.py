@@ -1,4 +1,4 @@
-"""Multi-chip training: views x tiles sharded over a 2D device mesh.
+"""Multi-chip training: views x tiles x particles over a 3D device mesh.
 
 The reference is strictly single-GPU (SURVEY.md §2.10 — no NCCL/MPI/
 torch.distributed anywhere); this module is new TPU-native capability per the
@@ -10,15 +10,18 @@ Mesh axes:
     camera (true multi-view batching; the reference is batch_size=1).
   * "tile": 16x16 pixel tiles of one view sharded across chips (the
     sequence-parallel analogue — rays are the long axis, SURVEY.md §5.7).
+  * "model": particles sharded for projection + SH + packing (the
+    tensor-parallel analogue — per-particle work scales with N); results are
+    all-gathered over ICI before the (replicated) sort and the tile-sharded
+    compositing, which both need the full splat set.
 
-Design: parameters and optimizer state are replicated (in_specs P()); each
-device projects/sorts its view (replicated within a tile-row — projection is
-~1% of compositing FLOPs) and composites only its tile shard; strips are
-all-gathered over "tile" for the image-space SSIM loss; parameter gradients
-are `psum` over BOTH axes (completing tile partial-grads and summing view
-contributions), then a replicated Adam step keeps parameters identical on all
-chips. Every gradient path reaches parameters through this device's own tile
-strip, so the psum has no double counting.
+Design: parameters and optimizer state are replicated (in_specs P()); every
+gradient path reaches parameters through this device's own tile strip AND
+exactly one model-axis all_gather, so after `psum` over all three axes the
+gradient equals the single-device gradient exactly (verified in tests); a
+replicated Adam step keeps parameters identical on all chips. The per-device
+loss carries 1/(B*T*M) because each all_gather transpose (a psum_scatter)
+sums the identical per-replica cotangents.
 """
 from __future__ import annotations
 
@@ -35,22 +38,31 @@ from threedgrut_tpu.cameras import pose_from_matrix
 from threedgrut_tpu.config import Config
 from threedgrut_tpu.model import background, losses
 from threedgrut_tpu.model.gaussians import Gaussians
+from threedgrut_tpu.ops import projection as proj_ops
+from threedgrut_tpu.ops import tiles as tile_ops
 from threedgrut_tpu.ops.pallas import tile_raster
+from threedgrut_tpu.ops.sorted_gather import sorted_gather
 from threedgrut_tpu.render import gut
+from threedgrut_tpu.render.gut_reference import (camera_center_world,
+                                                 precomputed_features)
 
 
 def make_mesh(n_devices: int | None = None,
-              tile_parallel: int | None = None) -> Mesh:
-    """Factor the devices into (data, tile) — prefer tile-parallelism within
-    a view (better load balance at batch 1) unless told otherwise."""
+              tile_parallel: int | None = None,
+              model_parallel: int = 1) -> Mesh:
+    """Factor the devices into (data, tile, model)."""
     devs = jax.devices()[:n_devices] if n_devices else jax.devices()
     n = len(devs)
     if tile_parallel is None:
-        tile_parallel = n  # default: pure tile/ray sharding of one view
-    assert n % tile_parallel == 0
+        tile_parallel = n // model_parallel
+    assert n % (tile_parallel * model_parallel) == 0
     import numpy as np
-    arr = np.asarray(devs).reshape(n // tile_parallel, tile_parallel)
-    return Mesh(arr, ("data", "tile"))
+    arr = np.asarray(devs).reshape(n // (tile_parallel * model_parallel),
+                                   tile_parallel, model_parallel)
+    return Mesh(arr, ("data", "tile", "model"))
+
+
+ALL_AXES = ("data", "tile", "model")
 
 
 def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
@@ -65,6 +77,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
     """
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
+    n_model = mesh.shape.get("model", 1)
     wp, hp = gut.pad_to_tiles(resolution)
     tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
     num_tiles = tile_grid[0] * tile_grid[1]
@@ -81,16 +94,42 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
         camera = jax.tree.map(lambda x: x[0], camera)
         pose = pose_from_matrix(T)
         tidx = jax.lax.axis_index("tile")
+        midx = jax.lax.axis_index("model")
 
         def loss_fn(fields: Dict[str, jnp.ndarray]):
             p = params.replace(**fields)
             pos, quats, scales, opac, feats = (
                 p.get_positions(), p.get_rotation(), p.get_scale(),
                 p.get_density(), p.get_features())
-            proj, binning, data_sorted, _ = gut.prepare(
-                pos, quats, scales, opac, feats, camera, pose, resolution,
-                cfg.render.isect_capacity, sh_degree=sh_degree,
+
+            cap_n = pos.shape[0]
+            assert cap_n % n_model == 0
+            shard_n = cap_n // n_model
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(
+                    x, midx * shard_n, shard_n, 0)
+
+            # Per-particle work sharded over "model", gathered over ICI.
+            proj_l = proj_ops.project(sl(pos), sl(quats), sl(scales),
+                                      sl(opac), camera, pose, 0, resolution)
+            proj = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "model", axis=0, tiled=True),
+                proj_l)
+            cam_center = camera_center_world(pose)
+            colors_l = precomputed_features(sl(pos), sl(feats), cam_center,
+                                            sh_degree)
+            packed_l = gut.pack_particles(sl(pos), sl(quats), sl(scales),
+                                          sl(opac), colors_l)
+            packed = jax.lax.all_gather(packed_l, "model", axis=0,
+                                        tiled=True)
+
+            binning = tile_ops.bin_particles(
+                proj, tile_grid, cfg.render.isect_capacity,
                 tile_culling=cfg.render.tile_culling)
+            data_sorted = sorted_gather(
+                packed, binning.sorted_particle_idx, binning.perm,
+                binning.particle_ends, binning.particle_counts)
             rays = gut.packed_world_rays(camera, pose, tile_grid, T)
 
             start = tidx * t_local
@@ -116,30 +155,26 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
                 pred, gt, cfg.loss.lambda_l1, cfg.loss.lambda_l2,
                 cfg.loss.lambda_ssim)
             visibility = proj.valid & (proj.n_tiles > 0)
-            # Every tile-device computes the same image-space loss, and the
-            # transpose of the all_gather (a psum_scatter) SUMS their
-            # cotangents — divide by n_tile so the differentiated objective
-            # is the mean view loss, once.
-            return loss / (n_data * n_tile), (terms, visibility,
-                                              binning.overflow, pred)
+            # The loss is computed identically on every replica of each
+            # all_gathered tensor; each gather transpose SUMS those
+            # cotangents, so normalize once per replicated axis.
+            scale = n_data * n_tile * n_model
+            return loss / scale, (terms, visibility, binning.overflow, pred)
 
         fields = {f: getattr(params, f) for f in optimizers.PARAM_FIELDS}
         (loss, (terms, visibility, overflow, pred)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(fields))
-        grads = jax.lax.psum(grads, ("data", "tile"))
+        grads = jax.lax.psum(grads, ALL_AXES)
         # Visibility across the view batch: a particle visible in any view.
         visibility = jax.lax.psum(visibility.astype(jnp.int32),
-                                  ("data", "tile")) > 0
+                                  ALL_AXES) > 0
         new_params, new_opt = optimizers.step(
             params, params.replace(**grads, alive=params.alive), opt_state,
             cfg.optimizer, extent, visibility=visibility)
-        # loss carries 1/(n_data*n_tile); psum over both axes -> mean view
-        # loss, identical on every chip.
         metrics = dict(
-            loss=jax.lax.psum(loss, ("data", "tile")),
+            loss=jax.lax.psum(loss, ALL_AXES),
             psnr=jax.lax.psum(losses.psnr(pred, gt), "data") / n_data,
-            overflow=jax.lax.psum(overflow.astype(jnp.int32),
-                                  ("data", "tile")) > 0,
+            overflow=jax.lax.psum(overflow.astype(jnp.int32), ALL_AXES) > 0,
         )
         if debug_grads:
             metrics["grads"] = grads
