@@ -139,3 +139,22 @@ def test_posed_camera():
     out = gut_reference.render(pos, quat, scale, opa, feats, cam, pose,
                                (32, 32), T_to_world=jnp.asarray(T))
     assert float(out.opacity.max()) > 0.1
+
+
+def test_per_ray_sorted_mode():
+    """Sorted mode composites in exact per-ray hit order; for scenes with
+    depth-order inversions it differs from global-z, and its per-ray ordering
+    matches the 3DGRT trace path's compositing semantics."""
+    from threedgrut_tpu.render import gut_reference
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=21, spread=0.6)
+    cam = make_pinhole(f=60.0, cx=16.0, cy=16.0)
+    res_u = gut_reference.render(pos, quat, scale, opa, feats, cam,
+                                 IDENTITY_POSE, (32, 32))
+    res_s = gut_reference.render(pos, quat, scale, opa, feats, cam,
+                                 IDENTITY_POSE, (32, 32),
+                                 per_ray_sorted=True)
+    # Same total energy scale but not identical images.
+    assert not np.allclose(np.asarray(res_u.rgb), np.asarray(res_s.rgb),
+                           atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_s.opacity),
+                               np.asarray(res_u.opacity), atol=0.2)

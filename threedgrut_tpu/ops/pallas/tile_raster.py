@@ -145,19 +145,26 @@ def _alpha_from_raw(q, row_mask, min_response, min_alpha, max_alpha):
     return jnp.where(accept, alpha, 0.0), accept
 
 
-def _tri_matmuls(x, strict_lower: bool):
-    """[CHUNK, PIX] -> prefix sums along the chunk axis via MXU matmul.
+def _prefix_inclusive(x):
+    """[CHUNK, PIX] -> inclusive prefix sum along the chunk axis.
 
-    strict_lower=True gives exclusive prefix; False gives inclusive.
-    """
-    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    tri = (r > c) if strict_lower else (r >= c)
-    L = tri.astype(jnp.float32)
-    return jax.lax.dot_general(
-        L, x, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    Hillis-Steele with sublane rolls: log2(CHUNK)=8 shifted adds on the VPU —
+    exact f32 (a bf16 MXU triangular matmul visibly corrupts transmittance,
+    and HIGHEST-precision matmul costs 6 passes)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    y = x
+    s = 1
+    while s < CHUNK:
+        rolled = pltpu.roll(y, s, axis=0)
+        y = y + jnp.where(row >= s, rolled, 0.0)
+        s *= 2
+    return y
+
+
+def _tri_matmuls(x, strict_lower: bool):
+    """Prefix sums along the chunk axis (name kept from the MXU variant)."""
+    incl = _prefix_inclusive(x)
+    return incl - x if strict_lower else incl
 
 
 def _row_mask(w, start, end):
