@@ -113,3 +113,26 @@ def test_ply_to_usd_script(tmp_path):
     assert rc == 0
     import zipfile
     assert zipfile.ZipFile(ply_path.replace(".ply", ".usdz")).namelist()
+
+
+def test_api_surface(tmp_path):
+    """Top-level api: load_scene + render + trace."""
+    import jax.numpy as jnp
+    from threedgrut_tpu import api
+    from threedgrut_tpu.cameras import PinholeCamera, SensorPose
+    from threedgrut_tpu.export.ply import export_ply
+
+    p = make_params()
+    path = str(tmp_path / "s.ply")
+    export_ply(p, path)
+    g = api.load_scene(path)
+    cam = PinholeCamera(jnp.asarray([30.0, 30.0]), jnp.asarray([8.0, 8.0]),
+                        jnp.zeros(6), jnp.zeros(2), jnp.zeros(4))
+    pose = SensorPose(jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3),
+                      jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3))
+    out, ovf = api.render(g, cam, pose, (16, 16), isect_capacity=2048)
+    assert out.rgb.shape == (16, 16, 3)
+    o = jnp.zeros((100, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (100, 1))
+    tr = api.trace(g, o, d, candidate_capacity=16)
+    assert tr.rgb.shape == (100, 3)

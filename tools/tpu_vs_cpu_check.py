@@ -4,7 +4,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import numpy as np
 import jax, jax.numpy as jnp
 import sys
-sys.path.insert(0, "tests")
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
 from tests.test_gut_reference import random_scene
 from tests.test_cameras import IDENTITY_POSE, make_pinhole
 from threedgrut_tpu.render import gut
