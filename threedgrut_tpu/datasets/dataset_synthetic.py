@@ -75,13 +75,17 @@ class SyntheticDataset:
         )
         self._poses = orbit_poses(num_views)
         pos, quats, scales, opac, feats = [jnp.asarray(x) for x in self.scene]
+        import jax
+        # One jitted render reused across views (everything passed as
+        # arguments — eager/const-folded execution is unusably slow through
+        # remote-TPU tunnels).
+        render_fn = jax.jit(lambda T, *scene: gut_reference.render(
+            *scene, self.camera, pose_from_matrix(T), resolution,
+            sh_degree=sh_degree).rgb)
         self._views = []
         for T in self._poses:
-            pose = pose_from_matrix(jnp.asarray(T))
-            out = gut_reference.render(pos, quats, scales, opac, feats,
-                                       self.camera, pose, resolution,
-                                       sh_degree=sh_degree)
-            rgb = np.clip(np.asarray(out.rgb), 0.0, 1.0)
+            rgb = np.clip(np.asarray(render_fn(
+                jnp.asarray(T), pos, quats, scales, opac, feats)), 0.0, 1.0)
             self._views.append(View(T_to_world=T, camera=self.camera,
                                     resolution=resolution,
                                     rgb_gt=rgb.astype(np.float32)))
