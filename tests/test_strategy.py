@@ -197,3 +197,12 @@ def test_gs_prune_scale():
     p2 = gs.prune_scale(params, cam_pos, cam_fwd, jnp.float32(100.0), 30.0)
     assert not bool(p2.alive[0])
     assert int(p2.num_active()) == 7
+
+
+def test_gs_density_decay():
+    params = make_params(density=1.0)
+    p2 = gs.decay_density(params, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(p2.get_density()[np.asarray(params.alive)]),
+        np.asarray(params.get_density()[np.asarray(params.alive)]) * 0.5,
+        rtol=1e-5)

@@ -60,6 +60,8 @@ class StrategyConfig:
     prune_scale_threshold: float = 0.0      # screen-size prune (0 = off)
     reset_density_frequency: int = 3000
     reset_density_value: float = 0.01
+    density_decay_frequency: int = 0      # 0 = off (reference default off)
+    density_decay_gamma: float = 0.9
     split_n: int = 2
     split_scale_divisor: float = 1.6
     # MCMC (configs/strategy/mcmc.yaml)

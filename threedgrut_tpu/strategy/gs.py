@@ -163,6 +163,15 @@ def prune_scale(params: Gaussians, cam_positions: jnp.ndarray,
 
 
 @jax.jit
+def decay_density(params: Gaussians, gamma: float):
+    """density_logit <- logit(gamma * sigmoid(density)) — multiplicative
+    opacity decay (reference gs.py decay_density hook)."""
+    op = jax.nn.sigmoid(params.density) * gamma
+    op = jnp.clip(op, 1e-6, 1.0 - 1e-6)
+    return params.replace(density=jnp.log(op / (1.0 - op)))
+
+
+@jax.jit
 def reset_density(params: Gaussians, reset_value: float):
     """density <- min(density, inverse_sigmoid(reset_value))
     (reference gs.py:291-306)."""
@@ -203,3 +212,8 @@ class GSStrategy(BaseStrategy):
                      self.cfg.reset_density_frequency):
             trainer.params = reset_density(trainer.params,
                                            self.cfg.reset_density_value)
+        if (self.cfg.density_decay_frequency > 0
+                and self._due(step, self.cfg.density_decay_frequency, -1,
+                              self.cfg.density_decay_frequency)):
+            trainer.params = decay_density(trainer.params,
+                                           self.cfg.density_decay_gamma)
