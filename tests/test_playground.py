@@ -259,3 +259,30 @@ def test_training_gui_live(tmp_path):
         assert img2[:2] == b"\xff\xd8"
     finally:
         gui.close()
+
+
+def test_denoiser():
+    from threedgrut_tpu.playground.denoiser import bilateral_denoise
+    rng = np.random.default_rng(0)
+    clean = np.zeros((16, 16, 3), np.float32)
+    clean[:, 8:] = 1.0  # sharp edge
+    noisy = clean + rng.normal(0, 0.1, clean.shape).astype(np.float32)
+    depth = np.where(np.arange(16)[None, :] >= 8, 2.0, 1.0).astype(
+        np.float32) * np.ones((16, 16), np.float32)
+    out = np.asarray(bilateral_denoise(jnp.asarray(noisy),
+                                       jnp.asarray(depth)))
+    # Noise reduced away from the edge...
+    assert np.abs(out[:, :6] - 0).mean() < np.abs(noisy[:, :6] - 0).mean()
+    # ...edge preserved (no big bleed across column 8).
+    assert out[:, 6].mean() < 0.25 and out[:, 9].mean() > 0.75
+
+
+def test_engine_denoise_flag():
+    pos, quat, scale, opa, feats = random_scene(n=16, seed=13)
+    from tests.test_cameras import make_pinhole
+    cfg = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=16,
+                               denoise=True)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, config=cfg)
+    cam = make_pinhole(f=30.0, cx=8.0, cy=8.0)
+    out = e.render(cam, jnp.eye(4), (16, 16))
+    assert np.isfinite(np.asarray(out["rgb"])).all()

@@ -46,6 +46,9 @@ class EngineConfig:
     use_dof: bool = False
     aperture: float = 0.01
     focus_z: float = 1.0
+    # Denoiser toggle (reference: OptiX AI denoiser; here a depth-guided
+    # bilateral filter, playground/denoiser.py).
+    denoise: bool = False
 
 
 class Engine:
@@ -281,6 +284,10 @@ class Engine:
             if depth is None:
                 depth = dep
         rgb = acc / cfg.spp
+        if cfg.denoise:
+            from threedgrut_tpu.playground.denoiser import bilateral_denoise
+            rgb = bilateral_denoise(rgb.reshape(h, w, 3),
+                                    depth.reshape(h, w)).reshape(-1, 3)
         if cfg.tonemap:
             rgb = env_mod.filmic_tonemap(rgb)
         if cfg.gamma != 1.0:
