@@ -1,0 +1,76 @@
+"""Secondary benchmark: the 3DGRT trace path (arbitrary rays) on one chip.
+
+Prints one JSON line like bench.py. The reference's 3DGRT is ~2.4x slower
+than its 3DGUT (README.md: lego 360 vs 826 FPS) — expect a similar ratio.
+"""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from threedgrut_tpu.render import grt
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        n, n_rays, cand, iters = 100_000, 256 * 1024, 4096, 10
+    else:
+        n, n_rays, cand, iters = 2_000, 4096, 256, 2
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    s = jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
+                                       (n, 3))).astype(np.float32))
+    opa = jnp.full((n,), 0.5, jnp.float32)
+    feats = np.zeros((n, 16, 3), np.float32)
+    feats[:, 0] = rng.uniform(-1, 1, (n, 3))
+    feats = jnp.asarray(feats)
+
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -4.0]]), (n_rays, 1))
+    d = np.stack([rng.uniform(-0.4, 0.4, n_rays),
+                  rng.uniform(-0.4, 0.4, n_rays),
+                  np.ones(n_rays)], -1).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    def fwd_bwd(pos, opa):
+        def loss(pos, opa):
+            out = grt.trace(pos, q, s, opa, feats, o, d,
+                            candidate_capacity=cand)
+            return jnp.mean(out.rgb) + jnp.mean(out.opacity)
+        g = jax.grad(loss, argnums=(0, 1))(pos, opa)
+        return pos + 1e-20 * g[0][0, 0], opa + 1e-20 * g[1][0]
+
+    step = jax.jit(fwd_bwd)
+    p, a = step(pos, opa)
+    np.asarray(p[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, a = step(p, a)
+    np.asarray(p[:1])
+    dt = time.perf_counter() - t0
+    rays_per_s = n_rays * iters / dt
+    print(json.dumps({
+        "metric": "grt_trace_rays_per_s_fwd_bwd",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "backend": jax.default_backend(),
+        "n_gaussians": n,
+        "n_rays": n_rays,
+        "candidate_capacity": cand,
+        "step_ms": round(1000.0 * dt / iters, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
