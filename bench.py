@@ -68,22 +68,17 @@ def main():
     def make_step(capacity):
         def step(params, opt):
             return _step_impl(params, opt, T, cam, gt, mask, key,
-                              jnp.float32(4.0), res, 3, cfg_key, True,
+                              jnp.float32(4.0), res, 3, cfg_key, train=True,
                               isect_capacity=capacity)
         return step
 
-    # Capacity autotune: measure the true intersection count once, then
-    # rebuild with a ~15% headroom capacity (what the adaptive trainer
-    # converges to; the reference sizes its buffers from an exact D2H count
-    # readback every frame).
-    step = make_step(cap)
-    p, o, aux = step(params, opt)
-    jax.block_until_ready(p)
-    overflow = bool(aux["overflow"])
-    if on_tpu and not overflow:
+    # Capacity autotune BEFORE the first (donating) step: measure the true
+    # intersection count, then build the step at ~15% headroom (what the
+    # adaptive trainer converges to; the reference sizes its buffers from an
+    # exact D2H count readback every frame).
+    if on_tpu:
         from threedgrut_tpu.render import gut as _gut
         from threedgrut_tpu.cameras import pose_from_matrix as _pfm
-        import jax.numpy as _jnp
         _, binning, _, _ = jax.jit(
             lambda g: _gut.prepare(
                 g.get_positions(), g.get_rotation(), g.get_scale(),
@@ -91,12 +86,12 @@ def main():
             params)
         total = int(binning.num_intersections)
         tuned = max(256, -(-int(total * 1.15) // 256) * 256)
-        if tuned < cap:
-            cap = tuned
-            step = make_step(cap)
-            p, o, aux = step(params, opt)
-            jax.block_until_ready(p)
-            overflow = bool(aux["overflow"])
+        cap = min(cap, tuned)
+    step = make_step(cap)
+    # The train step donates its inputs; always chain through the returns.
+    p, o, aux = step(params, opt)
+    jax.block_until_ready(p)
+    overflow = bool(aux["overflow"])
 
     t0 = time.perf_counter()
     for _ in range(iters):

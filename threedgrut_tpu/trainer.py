@@ -36,11 +36,7 @@ def render_params(g: Gaussians):
             g.get_density(), g.get_features())
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("resolution", "sh_degree", "cfg_key", "train",
-                     "shutter", "isect_capacity"))
-def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
+def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                mask, key, scene_extent, resolution, sh_degree, cfg_key,
                train: bool, shutter=0, T_end=None, isect_capacity=None):
     from threedgrut_tpu.cameras import SensorPose, ShutterType
@@ -101,6 +97,23 @@ def _step_impl(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
     return new_params, new_opt, aux
 
 
+_STATIC = ("resolution", "sh_degree", "cfg_key", "train", "shutter",
+           "isect_capacity")
+# Train steps donate params + optimizer state (the Adam update then writes
+# in place instead of allocating fresh parameter/moment triples each step);
+# eval steps must NOT donate — they return the same params, and callers keep
+# using the original handles.
+_step_impl_train = functools.partial(
+    jax.jit, static_argnames=_STATIC, donate_argnums=(0, 1))(_step_fn)
+_step_impl_eval = functools.partial(
+    jax.jit, static_argnames=_STATIC)(_step_fn)
+
+
+def _step_impl(params, opt_state, *args, train=False, **kw):
+    fn = _step_impl_train if train else _step_impl_eval
+    return fn(params, opt_state, *args, train=train, **kw)
+
+
 # jit cannot hash dataclass configs with nested mutable fields; register them
 # by id and pass a static key instead.
 _CFG_REGISTRY: Dict[int, Config] = {}
@@ -154,7 +167,7 @@ class Trainer:
         self.params, self.opt_state, aux = _step_impl(
             self.params, self.opt_state, T, cam, gt, mask, sub,
             self.scene_extent, view.resolution, self.active_sh_degree(),
-            self.cfg_key, True, shutter=int(getattr(view, "shutter", 0)),
+            self.cfg_key, train=True, shutter=int(getattr(view, "shutter", 0)),
             T_end=T_end, isect_capacity=self.isect_capacity)
         self.global_step += 1
         # Capacity growth on overflow (replaces the reference's grow-only
@@ -177,7 +190,7 @@ class Trainer:
         _, _, aux = _step_impl(
             self.params, self.opt_state, T, cam, gt, mask,
             jax.random.PRNGKey(0), self.scene_extent, view.resolution,
-            self.active_sh_degree(), self.cfg_key, False,
+            self.active_sh_degree(), self.cfg_key, train=False,
             shutter=int(getattr(view, "shutter", 0)), T_end=T_end,
             isect_capacity=self.isect_capacity)
         return aux

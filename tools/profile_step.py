@@ -50,7 +50,7 @@ def main(out_dir: str = "/tmp/jax_trace"):
 
     def step(p, o):
         return _step_impl(p, o, T, cam, gt, mask, key, jnp.float32(4.0),
-                          res, 3, cfg_key, True, isect_capacity=cap)
+                          res, 3, cfg_key, train=True, isect_capacity=cap)
 
     p, o, aux = step(params, opt)   # compile outside the trace
     np.asarray(p.positions[:1])
