@@ -246,8 +246,9 @@ def trace(
     # Remat per bundle: without this, reverse-mode AD stacks every bundle's
     # [B, C, 3] intermediates as scan residuals (12 GB at 1024 bundles x 4096
     # candidates); recomputing the bundle forward in the backward pass keeps
-    # memory O(one bundle) — jax.checkpoint is exactly the HBM-for-FLOPs
-    # trade the design calls for.
+    # memory O(one bundle). (Grouping bundles with an inner vmap to widen the
+    # per-ray sorts was measured 1.7x SLOWER — the remat recompute grows with
+    # group size faster than the sort utilization improves.)
     rgb, opacity, depth, transmittance, hits, normal = jax.lax.map(
         jax.checkpoint(one_bundle),
         (cand_idx, cand_mask, o_b, d_b, act_b, t0_b, tmax_b))

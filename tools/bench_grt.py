@@ -22,7 +22,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        n, n_rays, cand, iters = 100_000, 256 * 1024, 4096, 10
+        n, n_rays, cand, iters = 100_000, 256 * 1024, 4096, 3
     else:
         n, n_rays, cand, iters = 2_000, 4096, 256, 2
 
