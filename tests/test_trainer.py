@@ -89,3 +89,28 @@ def test_rolling_shutter_training(dataset):
     aux_r = tr.eval_view(rolling)
     assert not np.allclose(np.asarray(aux_g["pred"]),
                            np.asarray(aux_r["pred"]), atol=1e-4)
+
+
+def test_checkpoint_carries_strategy_state(tmp_path, dataset):
+    """Densification buffers round-trip through checkpoints (reference saves
+    densify_grad_norm_accum/denom)."""
+    from threedgrut_tpu.strategy.gs import GSStrategy
+
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 14
+    pts = np.asarray(dataset.scene[0])
+    from threedgrut_tpu.model import gaussians as G
+    params = G.init_from_points(pts, capacity=64)
+    strat = GSStrategy(cfg.strategy, params.capacity)
+    tr = Trainer(cfg, dataset, params=params, strategy=strat)
+    tr.run(iterations=4, log_every=0)
+    accum_before = np.asarray(strat.state.grad_accum)
+    assert accum_before.sum() > 0
+    path = tr.save_checkpoint(str(tmp_path))
+
+    strat2 = GSStrategy(cfg.strategy, params.capacity)
+    tr2 = Trainer.load_checkpoint(path, dataset=dataset, strategy=strat2)
+    np.testing.assert_array_equal(np.asarray(strat2.state.grad_accum),
+                                  accum_before)
+    np.testing.assert_array_equal(np.asarray(strat2.state.grad_denom),
+                                  np.asarray(strat.state.grad_denom))

@@ -260,6 +260,13 @@ class Trainer:
         flat["opt_step"] = np.asarray(self.opt_state.step)
         flat["global_step"] = np.int64(self.global_step)
         flat["scene_extent"] = np.float64(self.scene_extent)
+        # Densification buffers travel with the checkpoint (reference
+        # trainer.py:651-672 saves densify_grad_norm_accum/denom).
+        strat_state = getattr(self.strategy, "state", None)
+        if strat_state is not None and dataclasses.is_dataclass(strat_state):
+            for f in dataclasses.fields(strat_state):
+                flat[f"strategy/{f.name}"] = np.asarray(
+                    getattr(strat_state, f.name))
         np.savez(path, **flat)
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(to_dict(self.cfg), f, indent=2)
@@ -297,4 +304,13 @@ class Trainer:
                         for f in optimizers.PARAM_FIELDS})
         trainer.global_step = int(data["global_step"])
         trainer.scene_extent = float(data["scene_extent"])
+        strat_state = getattr(trainer.strategy, "state", None)
+        if strat_state is not None and dataclasses.is_dataclass(strat_state):
+            restored = {
+                f.name: jnp.asarray(data[f"strategy/{f.name}"])
+                for f in dataclasses.fields(strat_state)
+                if f"strategy/{f.name}" in data}
+            if restored:
+                trainer.strategy.state = dataclasses.replace(strat_state,
+                                                             **restored)
         return trainer
