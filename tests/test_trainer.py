@@ -114,3 +114,16 @@ def test_checkpoint_carries_strategy_state(tmp_path, dataset):
                                   accum_before)
     np.testing.assert_array_equal(np.asarray(strat2.state.grad_denom),
                                   np.asarray(strat.state.grad_denom))
+
+
+def test_ray_jitter_training(dataset):
+    """Sub-pixel AA jitter: enabled training steps run and produce slightly
+    different renders per step (the reference dataset ray_jitter option)."""
+    tr = make_trainer(dataset, **{"render.ray_jitter": "true"})
+    aux1 = tr.train_step(dataset[0])
+    assert np.isfinite(float(aux1["terms"]["total"]))
+    # Eval (no jitter) still deterministic.
+    a = tr.eval_view(dataset[0])
+    b = tr.eval_view(dataset[0])
+    np.testing.assert_array_equal(np.asarray(a["pred"]),
+                                  np.asarray(b["pred"]))

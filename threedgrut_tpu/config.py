@@ -29,6 +29,7 @@ class RenderConfig:
     particle_kernel_max_alpha: float = C.MAX_ALPHA
     min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT
     tile_culling: bool = True
+    ray_jitter: bool = False      # sub-pixel AA jitter during training
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
     isect_capacity: int = 1 << 21

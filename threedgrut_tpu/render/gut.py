@@ -97,7 +97,8 @@ def prepare(
 
 
 def packed_world_rays(cam, pose, tile_grid, T_to_world=None, t_max=None,
-                      shutter: ShutterType = ShutterType.GLOBAL):
+                      shutter: ShutterType = ShutterType.GLOBAL,
+                      jitter=None):
     """World-space rays on the tile-padded grid, packed [T, 8, 256].
 
     `t_max` [hp, wp] optionally bounds each ray's integration segment
@@ -107,7 +108,7 @@ def packed_world_rays(cam, pose, tile_grid, T_to_world=None, t_max=None,
     sensors.h pose interpolation)."""
     from threedgrut_tpu.cameras import relative_shutter_time
     wp, hp = (tile_grid[0] * C.TILE_X, tile_grid[1] * C.TILE_Y)
-    ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp))
+    ray_o_c, ray_d_c = camera_space_rays(cam, (wp, hp), jitter=jitter)
     if shutter != ShutterType.GLOBAL:
         # Per-pixel camera->world pose at the pixel's shutter time.
         xs = jnp.arange(wp, dtype=jnp.float32) + 0.5
@@ -161,6 +162,7 @@ def render(
     tile_culling: bool = True,
     T_to_world: jnp.ndarray | None = None,
     t_max: jnp.ndarray | None = None,
+    ray_jitter: jnp.ndarray | None = None,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -177,8 +179,14 @@ def render(
         pad_h = tile_grid[1] * 16 - t_max.shape[0]
         pad_w = tile_grid[0] * 16 - t_max.shape[1]
         t_max = jnp.pad(t_max, ((0, pad_h), (0, pad_w)))
+    if ray_jitter is not None and ray_jitter.shape[:2] != (
+            tile_grid[1] * 16, tile_grid[0] * 16):
+        ph = tile_grid[1] * 16 - ray_jitter.shape[0]
+        pw = tile_grid[0] * 16 - ray_jitter.shape[1]
+        ray_jitter = jnp.pad(ray_jitter, ((0, ph), (0, pw), (0, 0)),
+                             constant_values=0.5)
     rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max,
-                             shutter=shutter)
+                             shutter=shutter, jitter=ray_jitter)
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,

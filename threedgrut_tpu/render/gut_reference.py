@@ -49,9 +49,10 @@ def camera_center_world(pose: SensorPose) -> jnp.ndarray:
     return -quaternion.rotate(quaternion.normalize(q_inv), pose.t_start)
 
 
-def camera_space_rays(cam: Camera, resolution: Tuple[int, int]):
+def camera_space_rays(cam: Camera, resolution: Tuple[int, int],
+                      jitter=None):
     if isinstance(cam, PinholeCamera):
-        return pinhole_camera_rays(cam, resolution)
+        return pinhole_camera_rays(cam, resolution, jitter=jitter)
     if isinstance(cam, FisheyeCamera):
         return fisheye_camera_rays(cam, resolution)
     raise TypeError(type(cam))

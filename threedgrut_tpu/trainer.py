@@ -63,6 +63,11 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 candidate_capacity=isect_capacity // 256,
                 T_to_world=T_to_world)
         else:
+            jit_px = None
+            if train and cfg.render.ray_jitter:
+                jkey = jax.random.fold_in(key, 1)
+                jit_px = jax.random.uniform(
+                    jkey, (resolution[1], resolution[0], 2))
             out, overflow = gut.render(
                 pos, quats, scales, opac, feats, camera, pose, resolution,
                 isect_capacity, shutter=shutter,
@@ -70,7 +75,7 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
                 tile_culling=cfg.render.tile_culling,
-                T_to_world=T_to_world)
+                T_to_world=T_to_world, ray_jitter=jit_px)
         pred = background.compose(out.rgb, out.opacity,
                                   cfg.model.background_color, train=True,
                                   key=key)
