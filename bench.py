@@ -94,13 +94,15 @@ def main():
     step = make_step(cap)
     # The train step donates its inputs; always chain through the returns.
     p, o, aux = step(params, opt)
-    jax.block_until_ready(p)
+    # block_until_ready does NOT wait under the axon tunnel (CLAUDE.md):
+    # force a tiny host readback to fence, once outside the timed loop.
+    np.asarray(p.positions[:1])
     overflow = bool(aux["overflow"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         p, o, aux = step(p, o)
-    jax.block_until_ready(p)
+    np.asarray(p.positions[:1])
     dt = time.perf_counter() - t0
 
     rays_per_s = res[0] * res[1] * iters / dt

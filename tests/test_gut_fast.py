@@ -101,3 +101,66 @@ def test_overflow_flag():
     _, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
                              IDENTITY_POSE, RES, 256)
     assert bool(overflow)
+
+
+def inversion_scene(n=40, seed=21):
+    """Anisotropic particles at NEAR-EQUAL camera z so that the per-ray 3D
+    hit order inverts against the global z sort for off-center pixels —
+    the scenario the reference's sorted mode (k_buffer_size=16) exists for.
+    Inversions stay within a few positions of the z order, so a small
+    odd-even pass count restores exact per-ray order."""
+    rng = np.random.default_rng(seed)
+    pos = np.stack([rng.uniform(-0.9, 0.9, n), rng.uniform(-0.9, 0.9, n),
+                    3.0 + 0.003 * rng.permutation(n)], -1).astype(np.float32)
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    scale = np.exp(rng.uniform(np.log(0.02), np.log(0.3),
+                               (n, 3))).astype(np.float32)
+    scale[:, 2] *= 0.05   # flat pancakes -> strong hit_t anisotropy
+    opa = rng.uniform(0.4, 0.9, n).astype(np.float32)
+    feats = np.zeros((n, 16, 3), np.float32)
+    feats[:, 0] = rng.uniform(-1.5, 1.5, (n, 3))
+    return (jnp.asarray(pos), jnp.asarray(quat), jnp.asarray(scale),
+            jnp.asarray(opa), jnp.asarray(np.log(scale) * 0 + feats)
+            if False else jnp.asarray(feats))
+
+
+def test_sorted_mode_matches_sorted_oracle():
+    pos, quat, scale, opa, feats = inversion_scene()
+    ref_sorted = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                                      IDENTITY_POSE, RES,
+                                      per_ray_sorted=True)
+    ref_unsorted = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                                        IDENTITY_POSE, RES)
+    # The scene must actually exercise ordering (else the test is vacuous).
+    assert np.abs(np.asarray(ref_sorted.rgb)
+                  - np.asarray(ref_unsorted.rgb)).max() > 1e-3
+    fast, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
+                                IDENTITY_POSE, RES, 4096, sorted_passes=48)
+    assert not bool(overflow)
+    np.testing.assert_allclose(fast.rgb, ref_sorted.rgb, atol=3e-5)
+    np.testing.assert_allclose(fast.opacity, ref_sorted.opacity, atol=2e-5)
+    np.testing.assert_allclose(fast.depth, ref_sorted.depth, atol=1e-4)
+
+
+def test_sorted_mode_gradients():
+    pos, quat, scale, opa, feats = inversion_scene(n=24, seed=22)
+    target = jnp.ones(RES[::-1] + (3,)) * 0.4
+
+    def loss_ref(pos, opa, feats):
+        out = gut_reference.render(pos, quat, scale, opa, feats, CAM,
+                                   IDENTITY_POSE, RES, per_ray_sorted=True)
+        return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.opacity)
+
+    def loss_fast(pos, opa, feats):
+        out, _ = gut.render(pos, quat, scale, opa, feats, CAM,
+                            IDENTITY_POSE, RES, 4096, sorted_passes=48)
+        return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.opacity)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(pos, opa, feats)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(pos, opa, feats)
+    for name, a, b in zip(("pos", "opa", "feats"), g_fast, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale_ref = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a, b, atol=3e-4 * scale_ref, rtol=3e-3,
+                                   err_msg=name)

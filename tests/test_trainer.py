@@ -127,3 +127,32 @@ def test_ray_jitter_training(dataset):
     b = tr.eval_view(dataset[0])
     np.testing.assert_array_equal(np.asarray(a["pred"]),
                                   np.asarray(b["pred"]))
+
+
+def test_hit_based_visibility_occluded_invisible(dataset):
+    """An in-frustum particle fully occluded by a nearer opaque particle
+    must be INVISIBLE (reference referenceOptix.cu:158-161: the visibility
+    flag is set during render on an accepted hit, not at projection)."""
+    import jax.numpy as jnp
+    from threedgrut_tpu.model.gaussians import Gaussians, from_arrays
+
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 12
+    cfg.render.min_transmittance = 1e-4
+    cfg.model.background_color = "black"
+    # Two particles on the optical axis: a huge opaque one in front, a
+    # small one right behind it. inverse_sigmoid(0.99) ~ 4.6.
+    pos = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (2, 1))
+    scale = np.log(np.array([[1.0, 1.0, 1.0],
+                             [0.01, 0.01, 0.01]], np.float32))
+    dens = np.array([[9.0], [9.0]], np.float32)   # sigmoid -> ~1
+    alb = np.full((2, 3), 0.5, np.float32)
+    spec = np.zeros((2, 45), np.float32)
+    params = from_arrays(pos, quat, scale, dens, alb, spec)
+    tr = Trainer(cfg, dataset, params=params)
+    view = dataset[0]  # camera at distance looking at origin from -y side
+    aux = tr.train_step(view)
+    vis = np.asarray(aux["visibility"])
+    assert vis[0]          # the occluder rendered
+    assert not vis[1]      # in-frustum but fully occluded -> invisible

@@ -28,7 +28,17 @@ class RenderConfig:
     particle_kernel_min_alpha: float = C.MIN_ALPHA
     particle_kernel_max_alpha: float = C.MAX_ALPHA
     min_transmittance: float = C.MIN_TRANSMITTANCE_3DGUT
+    # Adaptive kernel clamping (reference configs/render/3dgrt.yaml:6 +
+    # particlePrimitives.cu kernelScale): shrink each particle's proxy
+    # bounding radius to the iso-surface of min_response/density. Forced on
+    # for 3DGRT eval (reference render.py:88-91).
+    particle_kernel_density_clamping: bool = False
     tile_culling: bool = True
+    # Per-ray re-sorted compositing ("sorted" mode, reference
+    # configs/paper/3dgut/base_sorted.yaml k_buffer_size=16): number of
+    # odd-even resort passes in the tile kernel; 0 = global depth order
+    # (the benchmarked unsorted default).
+    k_buffer_passes: int = 0
     ray_jitter: bool = False      # sub-pixel AA jitter during training
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
@@ -36,6 +46,10 @@ class RenderConfig:
     # 3DGRT-path settings.
     k_hits_per_chunk: int = 64            # particles per lax.scan chunk
     grid_resolution: int = 64             # culling-grid resolution (trace path)
+    # 2DGS barycentric-surfel primitive (reference
+    # barycentricSurfelsOptix.cu / gaussianParticles.cuh SurfelPrimitive):
+    # response at the canonical z=0 plane intersection.
+    surfel_primitive: bool = False
 
 
 @dataclasses.dataclass
@@ -134,6 +148,8 @@ def preset_3dgrt() -> Config:
 def preset_mcmc(base: Optional[Config] = None) -> Config:
     cfg = base or Config()
     cfg.strategy.method = "mcmc"
+    # configs/strategy/mcmc.yaml: relocation/growth run in [500, 25000].
+    cfg.strategy.densify_end = 25000
     return cfg
 
 

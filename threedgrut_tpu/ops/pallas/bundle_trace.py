@@ -1,0 +1,455 @@
+"""Pallas TPU bundle compositor: the 3DGRT trace hot loop, forward + backward.
+
+Replaces the per-ray `argsort([rays, candidates])` + jnp compositing inside
+`jax.lax.map` (the round-1 trace path, ~22 ms per 256-ray bundle) with the
+tile-compositor machinery of tile_raster.py applied to ray BUNDLES:
+
+  * Grid over bundles (256 arbitrary rays each — the culling cone groups).
+  * Candidates arrive depth-sorted along the bundle axis (bundle_candidates'
+    top_k key) in CHUNK-aligned windows [W, 64, 256] (fields x candidates).
+  * Compositing walks candidates in BUNDLE order (the 3DGUT "unsorted"
+    global-order semantics, applied per bundle). This is exact whenever
+    per-ray hit distances do not invert across the bundle-axis order by
+    more than the window the sort key already resolves — the reference's
+    own k=16 buffer (referenceOptix.cu:210-248) makes the same locality
+    assumption. The caller can bound the inversion distance from the cone
+    geometry; `render/grt.py` keeps the exact per-ray argsort path as the
+    oracle.
+  * 3DGRT-specific semantics vs the tile kernel: per-(ray, candidate) SH
+    radiance (reference raygen evaluates SH along the actual ray direction,
+    gaussianParticles.cuh:43-82) — computed in-kernel as 3 MXU matmuls
+    coeff[16, CHUNK]^T-dot-basis[16, PIX] against a per-bundle basis table;
+    the front-of-origin and canonical-slab gates of intersectCustomParticle
+    (gaussianParticles.cuh:396-436); per-ray initial transmittance (ray row
+    7) and t_max segment bound (ray row 6) for hybrid/secondary rays.
+
+Packed candidate rows (ROW64 = 64 floats, SoA within a window):
+  rows 0-8   A (world->canonical incl. 1/scale), rows 9-11 mean,
+  row 12     opacity (0 for masked/invalid candidates), rows 13-15 pad,
+  rows 16-31 SH coefficients red (basis 0..15, zeros beyond),
+  rows 32-47 green, rows 48-63 blue.
+
+Rays pack [nb, 8, 256]: rows 0-2 origin, 3-5 unit direction, row 6 t_max
+(<= 0 unbounded), row 7 initial transmittance. Output [nb, 8, 256]: rows
+0-2 rgb, 3 opacity, 4 depth, 5 final transmittance, 6 hit count, 7 pad.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from threedgrut_tpu import constants as C
+from threedgrut_tpu.ops.pallas.tile_raster import (
+    CHUNK,
+    PIX,
+    _alpha_from_raw,
+    _pair_quantities,
+    _should_interpret,
+    _tri_matmuls,
+)
+
+ROW64 = 64
+_N_WBUF = 4
+
+
+def _sh_basis_rows(rays, sh_degree: int):
+    """Per-bundle SH basis table [16, PIX] from unit ray directions.
+
+    Rows beyond (sh_degree+1)^2 are zero (progressive-SH semantics: inactive
+    coefficients do not contribute even if nonzero; ops/sh.py:sh_basis).
+    """
+    x = rays[3, :][None, :]
+    y = rays[4, :][None, :]
+    z = rays[5, :][None, :]
+    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(x)
+    rows = [C.SH_C0 * one]
+    if sh_degree >= 1:
+        rows += [-C.SH_C1 * y, C.SH_C1 * z, -C.SH_C1 * x]
+    if sh_degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        rows += [
+            C.SH_C2[0] * x * y,
+            C.SH_C2[1] * y * z,
+            C.SH_C2[2] * (2.0 * zz - xx - yy),
+            C.SH_C2[3] * x * z,
+            C.SH_C2[4] * (xx - yy),
+        ]
+    if sh_degree >= 3:
+        xx, yy, zz = x * x, y * y, z * z
+        rows += [
+            C.SH_C3[0] * y * (3.0 * xx - yy),
+            C.SH_C3[1] * x * y * z,
+            C.SH_C3[2] * y * (4.0 * zz - xx - yy),
+            C.SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            C.SH_C3[4] * x * (4.0 * zz - xx - yy),
+            C.SH_C3[5] * z * (xx - yy),
+            C.SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    rows += [zero] * (16 - len(rows))
+    return jnp.concatenate(rows, axis=0)                     # [16, PIX]
+
+
+def _pair_colors(S, basis):
+    """Raw per-(candidate, ray) SH radiance (pre-clamp): 3 x [CHUNK, PIX]."""
+    def one(c):
+        return jax.lax.dot_general(
+            S[16 + 16 * c:32 + 16 * c, :], basis,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + 0.5
+    return [one(c) for c in range(3)]
+
+
+def _grt_gates(q):
+    """front-of-origin + canonical slab gates (intersectCustomParticle).
+
+    The jnp path's front test is proj = grd . (-gro) > 0; with the packed
+    row's unnormalized v = A d, u = gro that is v . u < 0 (hit_t uses the
+    absolute value, so only the gate carries the sign)."""
+    return (q["vdotu"] < 0.0) & (q["g"] <= C.MAX_PARTICLE_SQ_DISTANCE)
+
+
+def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
+                    sh_degree, wpb, min_transmittance, min_response,
+                    min_alpha, max_alpha):
+    b = pl.program_id(0)
+    w0 = b * wpb
+    w1 = w0 + wpb
+
+    rays = rays_ref[0]
+    t0 = rays[7, :][None, :]
+    out_ref[0] = jnp.zeros((8, PIX), jnp.float32)
+    out_ref[0, 5, :] = t0[0]
+    basis = _sh_basis_rows(rays, sh_degree)
+
+    def dma(w, slot):
+        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
+                                     sem.at[slot])
+
+    dma(w0, w0 % 2).start()
+
+    true_mask = jnp.ones((CHUNK, 1), jnp.bool_)
+
+    def body(state):
+        w, _ = state
+        slot = w % 2
+        dma(w, slot).wait()
+
+        @pl.when(w + 1 < w1)
+        def _():
+            dma(w + 1, (w + 1) % 2).start()
+
+        S = dbuf[slot]
+        q = _pair_quantities(S, rays, degree)
+        alpha, _ = _alpha_from_raw(q, true_mask & _grt_gates(q),
+                                   min_response, min_alpha, max_alpha)
+        log1m = jnp.log1p(-alpha)
+        excl = _tri_matmuls(log1m, strict_lower=True)
+        t_carry = out_ref[0, 5, :][None, :]
+        t_before = t_carry * jnp.exp(excl)
+        live = t_before > min_transmittance
+        w_ = jnp.where(live, alpha * t_before, 0.0)
+
+        cols = _pair_colors(S, basis)
+        for c in range(3):
+            out_ref[0, c, :] += jnp.sum(w_ * jnp.maximum(cols[c], 0.0),
+                                        axis=0)
+        out_ref[0, 3, :] += jnp.sum(w_, axis=0)
+        out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
+        out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32), axis=0)
+        processed_log = jnp.where(live, log1m, 0.0)
+        out_ref[0, 5, :] = (t_carry * jnp.exp(
+            jnp.sum(processed_log, axis=0, keepdims=True)))[0]
+        alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
+        return w + 1, alive
+
+    def cond(state):
+        w, alive = state
+        return (w < w1) & alive
+
+    wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
+
+    @pl.when(wf < w1)
+    def _():
+        dma(wf, wf % 2).wait()
+
+
+def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
+                     gdata_hbm, dbuf, wbuf, sem, wsem, wstate, *, degree,
+                     sh_degree, wpb, min_transmittance, min_response,
+                     min_alpha, max_alpha):
+    """Front-to-back re-walk with the suffix-residual trick (tile_raster
+    _backward_kernel); SH-coefficient gradients are basis-contracted MXU
+    matmuls. Gradient windows are bundle-exclusive (no boundary sharing),
+    written through an overlapped ring."""
+    del zeros_hbm
+    b = pl.program_id(0)
+    w0 = b * wpb
+    w1 = w0 + wpb
+
+    @pl.when(b == 0)
+    def _():
+        wstate[0] = 0
+        for s in range(_N_WBUF):
+            wstate[1 + s] = -1
+
+    def dma_data(w, slot):
+        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
+                                     sem.at[slot])
+
+    def wait_write(s):
+        @pl.when(wstate[1 + s] >= 0)
+        def _():
+            pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[wstate[1 + s]],
+                                  wsem.at[s]).wait()
+        wstate[1 + s] = -1
+
+    dma_data(w0, w0 % 2).start()
+
+    rays = rays_ref[0]
+    t0 = rays[7, :][None, :]
+    basis = _sh_basis_rows(rays, sh_degree)
+    dC = gout_ref[0, 0:3, :]
+    dO = gout_ref[0, 3, :][None, :]
+    dD = gout_ref[0, 4, :][None, :]
+    dT = gout_ref[0, 5, :][None, :]
+    t_final = fwd_ref[0, 5, :][None, :]
+    a_tot = (fwd_ref[0, 0, :] * dC[0, :] + fwd_ref[0, 1, :] * dC[1, :]
+             + fwd_ref[0, 2, :] * dC[2, :]
+             + fwd_ref[0, 3, :] * dO[0, :]
+             + fwd_ref[0, 4, :] * dD[0, :])[None, :]
+
+    true_mask = jnp.ones((CHUNK, 1), jnp.bool_)
+
+    def body(state):
+        w, t_carry_v, prefix_v = state
+        slot = w % 2
+        dma_data(w, slot).wait()
+
+        @pl.when(w + 1 < w1)
+        def _():
+            dma_data(w + 1, (w + 1) % 2).start()
+
+        S = dbuf[slot]
+        q = _pair_quantities(S, rays, degree)
+        alpha, accept = _alpha_from_raw(q, true_mask & _grt_gates(q),
+                                        min_response, min_alpha, max_alpha)
+        log1m = jnp.log1p(-alpha)
+        excl = _tri_matmuls(log1m, strict_lower=True)
+        t_before = t_carry_v[None, :] * jnp.exp(excl)
+        live = t_before > min_transmittance
+        w_ = jnp.where(live, alpha * t_before, 0.0)
+
+        cols = _pair_colors(S, basis)
+        colc = [jnp.maximum(c, 0.0) for c in cols]
+        qj = (colc[0] * dC[0, :][None, :] + colc[1] * dC[1, :][None, :]
+              + colc[2] * dC[2, :][None, :] + q["hit_t"] * dD + dO)
+
+        wq = w_ * qj
+        incl = _tri_matmuls(wq, strict_lower=False)
+        suffix = a_tot - prefix_v[None, :] - incl
+
+        one_m = 1.0 - alpha
+        inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
+        d_alpha = jnp.where(
+            w_ > 0.0,
+            t_before * qj - suffix * inv_one_m - dT * t_final * inv_one_m,
+            0.0)
+
+        unclamped = (q["alpha_raw"] < max_alpha) & accept
+        d_resp = jnp.where(unclamped, q["opacity"] * d_alpha, 0.0)
+        d_opacity_pair = jnp.where(unclamped, q["resp"] * d_alpha, 0.0)
+        d_g = d_resp * q["dresp_dg"]
+
+        d_hit = jnp.where(w_ > 0.0, w_ * dD, 0.0)
+        sign_m = jnp.sign(q["vdotu"])
+        d_m = sign_m * q["inv_vsq"] * d_hit
+        d_crsq = d_g * q["inv_vsq"]
+        d_vsq = (-q["g"] * q["inv_vsq"]) * d_g \
+            + (-q["hit_t"] * q["inv_vsq"]) * d_hit
+
+        u, v, cr = q["u"], q["v"], q["cr"]
+        crxv = [cr[1] * v[2] - cr[2] * v[1],
+                cr[2] * v[0] - cr[0] * v[2],
+                cr[0] * v[1] - cr[1] * v[0]]
+        uxcr = [u[1] * cr[2] - u[2] * cr[1],
+                u[2] * cr[0] - u[0] * cr[2],
+                u[0] * cr[1] - u[1] * cr[0]]
+        du = [2.0 * d_crsq * crxv[i] + d_m * v[i] for i in range(3)]
+        dv = [2.0 * d_crsq * uxcr[i] + d_m * u[i] + 2.0 * d_vsq * v[i]
+              for i in range(3)]
+
+        o1 = jnp.concatenate([rays[0:3, :], jnp.ones((1, PIX), jnp.float32)],
+                             axis=0)
+        M = [jax.lax.dot_general(
+            o1, du[r], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        N = [jax.lax.dot_general(
+            rays[3:6, :], dv[r], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        rows = [M[r][k][None, :] - S[9 + k, :][None, :] * M[r][3][None, :]
+                + N[r][k][None, :]
+                for r in range(3) for k in range(3)]
+        rows += [-(S[0 * 3 + k, :][None, :] * M[0][3][None, :]
+                   + S[1 * 3 + k, :][None, :] * M[1][3][None, :]
+                   + S[2 * 3 + k, :][None, :] * M[2][3][None, :])
+                 for k in range(3)]
+        rows.append(jnp.sum(d_opacity_pair, axis=1)[None, :])
+        rows.append(jnp.zeros((3, CHUNK), jnp.float32))
+        # SH-coefficient grads: d coeff[c, k, cand] = sum_ray basis[k, ray]
+        # * w_ * dC_c * [raw color > 0] (the use-time clamp gate).
+        gsh = [jax.lax.dot_general(
+            basis,
+            jnp.where(cols[c] > 0.0, w_ * dC[c, :][None, :], 0.0),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for c in range(3)]
+        G = jnp.concatenate(rows + gsh, axis=0)              # [ROW64, CHUNK]
+
+        k = wstate[0]
+        s = k % _N_WBUF
+        wait_write(s)
+        wbuf[s] = G
+        pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[w],
+                              wsem.at[s]).start()
+        wstate[1 + s] = w
+        wstate[0] = k + 1
+
+        processed_log = jnp.where(live, log1m, 0.0)
+        t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
+        prefix_new = prefix_v + jnp.sum(wq, axis=0)
+        return w + 1, t_carry_new, prefix_new
+
+    def cond(state):
+        w, t_carry_v, _ = state
+        return (w < w1) & jnp.any(t_carry_v > min_transmittance)
+
+    wf, _, _ = jax.lax.while_loop(cond, body, (w0, t0[0], jnp.zeros(
+        (PIX,), jnp.float32)))
+
+    @pl.when(wf < w1)
+    def _():
+        dma_data(wf, wf % 2).wait()
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        for s in range(_N_WBUF):
+            wait_write(s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def bundle_composite(
+    data: jnp.ndarray,          # [nb * C, ROW64] packed candidate rows
+    rays: jnp.ndarray,          # [nb, 8, 256]
+    degree: int,
+    sh_degree: int,
+    min_transmittance: float,
+    min_response: float = C.MIN_KERNEL_RESPONSE,
+    min_alpha: float = C.MIN_ALPHA,
+    max_alpha: float = C.MAX_ALPHA,
+) -> jnp.ndarray:
+    """Returns [nb, 8, 256] forward buffer (see module docstring).
+
+    The candidate axis length (data rows per bundle) must be a multiple of
+    CHUNK; candidates must be depth-ascending along the bundle axis with
+    masked slots carrying opacity 0. No gradient flows to `rays` (ray
+    positions are inputs of the caller's raygen, differentiated there when
+    needed via the jnp path)."""
+    return _forward(data, rays, degree, sh_degree, min_transmittance,
+                    min_response, min_alpha, max_alpha)
+
+
+def _to_windows(data: jnp.ndarray) -> jnp.ndarray:
+    rows = data.shape[0]
+    assert rows % CHUNK == 0 and data.shape[1] == ROW64
+    return data.reshape(rows // CHUNK, CHUNK, ROW64).transpose(0, 2, 1)
+
+
+def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
+             min_alpha, max_alpha):
+    nb = rays.shape[0]
+    wdata = _to_windows(data)
+    wpb = wdata.shape[0] // nb
+    assert wpb * nb == wdata.shape[0]
+    kern = functools.partial(
+        _forward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
+        min_transmittance=min_transmittance, min_response=min_response,
+        min_alpha=min_alpha, max_alpha=max_alpha)
+    return pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, PIX), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW64, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_should_interpret(),
+    )(wdata, rays)
+
+
+def _fwd_rule(data, rays, degree, sh_degree, min_transmittance, min_response,
+              min_alpha, max_alpha):
+    out = _forward(data, rays, degree, sh_degree, min_transmittance,
+                   min_response, min_alpha, max_alpha)
+    return out, (data, rays, out)
+
+
+def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
+              max_alpha, res, g_out):
+    data, rays, out = res
+    nb = rays.shape[0]
+    wdata = _to_windows(data)
+    wpb = wdata.shape[0] // nb
+    kern = functools.partial(
+        _backward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
+        min_transmittance=min_transmittance, min_response=min_response,
+        min_alpha=min_alpha, max_alpha=max_alpha)
+    zeros = jnp.zeros(wdata.shape, jnp.float32)
+    g_windows = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW64, CHUNK), jnp.float32),
+            pltpu.VMEM((_N_WBUF, ROW64, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_N_WBUF,)),
+            pltpu.SMEM((1 + _N_WBUF,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        input_output_aliases={4: 0},
+        interpret=_should_interpret(),
+    )(wdata, rays, out, g_out, zeros)
+    g_data = g_windows.transpose(0, 2, 1).reshape(-1, ROW64)
+    return g_data, None
+
+
+bundle_composite.defvjp(_fwd_rule, _bwd_rule)

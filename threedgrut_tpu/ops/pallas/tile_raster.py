@@ -172,9 +172,81 @@ def _row_mask(w, start, end):
     return (row_idx >= start) & (row_idx < end)
 
 
+# ---- per-ray windowed re-sort ("sorted" k-buffer mode) --------------------
+#
+# The reference's sorted configs re-sort approximately-ordered hits per ray
+# in a k=16 register buffer (gutKBufferRenderer.cuh:28-85, HitParticleKBuffer
+# insert/flush; configs/paper/3dgut/base_sorted.yaml). TPU-native analogue:
+# P passes of odd-even transposition over each 256-hit window, applied PER
+# RAY (keys are the per-ray 3D hit distances) — exact whenever per-ray
+# inversions against the global depth order span <= P positions inside a
+# window (the reference's buffer makes the same bounded-displacement
+# assumption at k=16; a 256-wide window resort is stronger except exactly at
+# window boundaries). Only the transmittance/suffix prefix sums depend on
+# order, so the pair math stays in original row layout: we sort log1m with
+# the keys, prefix-sum in sorted order, and map the result back through the
+# recorded swap masks (one bit per pass, packed in an int32 lane — the
+# network is an involution per pass given its mask).
+
+
+def _oddeven_sort(key, vals, passes):
+    """Return (vals sorted by key per lane, swap-mask bits [CHUNK, PIX])."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    masks = jnp.zeros(key.shape, jnp.int32)
+    for i in range(passes):
+        nxt_k = pltpu.roll(key, CHUNK - 1, axis=0)            # key[j+1] at row j
+        here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
+        swap_i = ((nxt_k < key) & here).astype(jnp.int32)
+        up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here  # row j+1 of swap
+        swap = swap_i == 1
+        prv_k = pltpu.roll(key, 1, axis=0)
+        key = jnp.where(swap, nxt_k, jnp.where(up, prv_k, key))
+        vals = [jnp.where(swap, pltpu.roll(v, CHUNK - 1, axis=0),
+                          jnp.where(up, pltpu.roll(v, 1, axis=0), v))
+                for v in vals]
+        masks = masks | (swap_i << i)
+    return vals, masks
+
+
+def _apply_swaps(masks, x, passes, inverse):
+    """Apply (or invert) the recorded odd-even network to channel x."""
+    order = range(passes - 1, -1, -1) if inverse else range(passes)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    for i in order:
+        here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
+        swap_i = jnp.where(here, (masks >> i) & 1, 0)
+        up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here
+        swap = swap_i == 1
+        x = jnp.where(swap, pltpu.roll(x, CHUNK - 1, axis=0),
+                      jnp.where(up, pltpu.roll(x, 1, axis=0), x))
+    return x
+
+
+def _t_before_excl(alpha, log1m, q, sorted_passes, row_idx=None, start=None,
+                   end=None):
+    """Exclusive log-transmittance prefix in compositing order, returned in
+    ORIGINAL row order. sorted_passes == 0 is the global-depth (unsorted)
+    mode. Also returns the swap masks (or None) for backward reuse."""
+    if not sorted_passes:
+        return _tri_matmuls(log1m, strict_lower=True), None
+    # In-range rows keep their per-ray hit distance as the key — they are
+    # already in global depth order, so displacements equal the true per-ray
+    # inversion distances. Rows OUTSIDE [start, end) (neighbor tiles' slots
+    # sharing the window, zero padding) are pinned in place with -/+inf so
+    # they never consume transposition passes (they carry log1m == 0, their
+    # position is irrelevant).
+    key = q["hit_t"]
+    if row_idx is not None:
+        key = jnp.where(row_idx < start, jnp.float32(-3.4e38), key)
+        key = jnp.where(row_idx >= end, jnp.float32(3.4e38), key)
+    (log1m_s,), masks = _oddeven_sort(key, [log1m], sorted_passes)
+    excl_s = _tri_matmuls(log1m_s, strict_lower=True)
+    return _apply_swaps(masks, excl_s, sorted_passes, inverse=True), masks
+
+
 def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
                     dbuf, sem, *, degree, min_transmittance, min_response,
-                    min_alpha, max_alpha):
+                    min_alpha, max_alpha, sorted_passes=0):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -212,7 +284,10 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                    max_alpha)
         log1m = jnp.log1p(-alpha)
-        excl = _tri_matmuls(log1m, strict_lower=True)
+        row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                   + w * CHUNK)
+        excl, _ = _t_before_excl(alpha, log1m, q, sorted_passes,
+                                 row_idx, start, end)
         t_carry = out_ref[0, 5, :][None, :]
         t_before = t_carry * jnp.exp(excl)
         live = t_before > min_transmittance
@@ -245,40 +320,59 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         dma(wf, wf % 2).wait()
 
 
+_N_WBUF = 4   # gradient write-buffer ring depth (overlaps write DMAs)
+
+
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
-                     gout_ref, zeros_hbm, gdata_hbm, dbuf, gbuf, sem, gsem,
-                     wsem, *, degree, min_transmittance, min_response,
-                     min_alpha, max_alpha):
+                     gout_ref, zeros_hbm, gdata_hbm, dbuf, wbuf, sem,
+                     wsem, wstate, *, degree, min_transmittance, min_response,
+                     min_alpha, max_alpha, sorted_passes=0):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
     same layout (rows 0-2 d_rgb, 3 d_opacity, 4 d_depth, 5 d_transmittance).
     The output buffer is donated pre-zeroed (input_output_aliases), so the
     walk early-exits with the forward's transmittance criterion — untouched
-    windows keep zero gradients. Boundary windows are read-modify-written:
-    rows outside [start, end) keep the previously stored values (the
-    preceding tile's gradients), which is correct because grid programs run
-    sequentially in ascending order.
+    windows keep zero gradients.
+
+    Gradient windows are written EXACTLY ONCE, never read back: a window
+    shared by several consecutive tiles (tile ranges are contiguous in slot
+    order, so all sharers are consecutive grid steps) is blended in VMEM via
+    the persistent write-buffer ring — each later write contains every
+    earlier tile's rows, so no read-modify-write DMA and no per-window write
+    stall (writes overlap the next windows' compute; hazards are tracked in
+    SMEM `wstate`: [0]=last window written, [1]=write counter, [2+s]=pending
+    window id per ring slot or -1).
     """
-    del zeros_hbm  # aliased into gdata_hbm; only read through the alias
+    del zeros_hbm  # aliased into gdata_hbm; only written through the alias
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
     w0 = start // CHUNK
     w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
 
+    @pl.when(t == 0)
+    def _():
+        wstate[0] = -1
+        wstate[1] = 0
+        for s in range(_N_WBUF):
+            wstate[2 + s] = -1
+
     def dma_data(w, slot):
         return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
                                      sem.at[slot])
 
-    def dma_gread(w, slot):
-        return pltpu.make_async_copy(gdata_hbm.at[w], gbuf.at[slot],
-                                     gsem.at[slot])
+    def wait_write(s):
+        """Complete the pending gradient-write on ring slot s, if any."""
+        @pl.when(wstate[2 + s] >= 0)
+        def _():
+            pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[wstate[2 + s]],
+                                  wsem.at[s]).wait()
+        wstate[2 + s] = -1
 
     @pl.when(w0 < w1)
     def _():
         dma_data(w0, w0 % 2).start()
-        dma_gread(w0, w0 % 2).start()
 
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
@@ -297,12 +391,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         w, t_carry_v, prefix_v = state
         slot = w % 2
         dma_data(w, slot).wait()
-        dma_gread(w, slot).wait()
 
         @pl.when(w + 1 < w1)
         def _():
             dma_data(w + 1, (w + 1) % 2).start()
-            dma_gread(w + 1, (w + 1) % 2).start()
 
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
@@ -311,7 +403,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                         max_alpha)
         log1m = jnp.log1p(-alpha)
-        excl = _tri_matmuls(log1m, strict_lower=True)
+        row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                   + w * CHUNK)
+        excl, masks = _t_before_excl(alpha, log1m, q, sorted_passes,
+                                     row_idx, start, end)
         t_before = t_carry_v[None, :] * jnp.exp(excl)
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
@@ -324,8 +419,17 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         qj = qj + q["hit_t"] * dD + dO
 
         wq = w_ * qj
-        incl = _tri_matmuls(wq, strict_lower=False)  # inclusive prefix
-        suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
+        if sorted_passes:
+            # Suffix over COMPOSITING order: route wq through the recorded
+            # network, prefix there, route the suffix back.
+            wq_s = _apply_swaps(masks, wq, sorted_passes, inverse=False)
+            incl_s = _tri_matmuls(wq_s, strict_lower=False)
+            suffix_s = a_tot - prefix_v[None, :] - incl_s
+            suffix = _apply_swaps(masks, suffix_s, sorted_passes,
+                                  inverse=True)
+        else:
+            incl = _tri_matmuls(wq, strict_lower=False)  # inclusive prefix
+            suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
 
         one_m = 1.0 - alpha
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
@@ -361,15 +465,28 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
               for i in range(3)]
 
         # Chain to packed row entries, summed over pixels -> [1, CHUNK] rows.
-        # dA[r, k] = sum_pix du_r * (o_k - p_k) + dv_r * d_k
-        rows = [jnp.sum(du[r] * q["w0"][k] + dv[r] * q["d"][k],
-                        axis=1)[None, :]
+        # dA[r, k] = sum_pix du_r * (o_k - p_k) + dv_r * d_k. The pixel
+        # reductions ride the MXU: [o; 1] @ du_r^T yields sum du_r*o_k for
+        # k=0..2 plus sum du_r in one [4, CHUNK] pass (rows already in the
+        # output orientation — no sublane->lane transposes).
+        o1 = jnp.concatenate([rays[0:3, :], jnp.ones((1, PIX), jnp.float32)],
+                             axis=0)                       # [4, PIX]
+        M = [jax.lax.dot_general(
+            o1, du[r], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        N = [jax.lax.dot_general(
+            rays[3:6, :], dv[r], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        rows = [M[r][k][None, :] - S[9 + k, :][None, :] * M[r][3][None, :]
+                + N[r][k][None, :]
                 for r in range(3) for k in range(3)]
         # dmean_k = -sum_r A[r, k] * sum_pix du_r
-        du_sum = [jnp.sum(du[r], axis=1)[None, :] for r in range(3)]
-        rows += [-(S[0 * 3 + k, :][None, :] * du_sum[0]
-                   + S[1 * 3 + k, :][None, :] * du_sum[1]
-                   + S[2 * 3 + k, :][None, :] * du_sum[2]) for k in range(3)]
+        rows += [-(S[0 * 3 + k, :][None, :] * M[0][3][None, :]
+                   + S[1 * 3 + k, :][None, :] * M[1][3][None, :]
+                   + S[2 * 3 + k, :][None, :] * M[2][3][None, :])
+                 for k in range(3)]
         rows.append(jnp.sum(d_opacity_pair, axis=1)[None, :])
         # dcolor = sum_pix w * dC_c  -> [3, CHUNK]
         gcol = jax.lax.dot_general(
@@ -378,13 +495,26 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         precision=jax.lax.Precision.HIGHEST)
         G = jnp.concatenate(rows + [gcol], axis=0)   # [ROW_F, CHUNK]
 
-        # Boundary blend: keep previously stored values outside [start, end).
+        # Window-shared blend without RMW: rows outside [start, end) are
+        # zero; if the previous write targeted this same window (boundary
+        # shared with the preceding tile), add its buffered contents.
         keep = row_mask[:, 0][None, :]               # [1, CHUNK] over rows
-        gbuf[slot] = jnp.where(keep, G, gbuf[slot])
-        cpo = pltpu.make_async_copy(gbuf.at[slot], gdata_hbm.at[w],
-                                    wsem)
-        cpo.start()
-        cpo.wait()
+        G = jnp.where(keep, G, 0.0)
+        k = wstate[1]
+        prev_slot = (k + _N_WBUF - 1) % _N_WBUF   # == (k-1) mod NW, k >= 0
+        same = (w == wstate[0]) & (k > 0)
+        G = G + jnp.where(same, wbuf[prev_slot], 0.0)
+        s = k % _N_WBUF
+        wait_write(s)                 # ring-slot reuse hazard
+        @pl.when(same & (prev_slot != s))
+        def _():
+            wait_write(prev_slot)     # same-window write ordering
+        wbuf[s] = G
+        pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[w],
+                              wsem.at[s]).start()
+        wstate[2 + s] = w
+        wstate[0] = w
+        wstate[1] = k + 1
 
         processed_log = jnp.where(live, log1m, 0.0)
         t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
@@ -403,11 +533,16 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         (w0, jnp.ones((PIX,), jnp.float32),
          jnp.zeros((PIX,), jnp.float32)))
 
-    # Drain any in-flight prefetches left by an early exit.
+    # Drain any in-flight prefetch left by an early exit.
     @pl.when(wf < w1)
     def _():
         dma_data(wf, wf % 2).wait()
-        dma_gread(wf, wf % 2).wait()
+
+    # On the final grid step, complete all outstanding gradient writes.
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        for s in range(_N_WBUF):
+            wait_write(s)
 
 
 def _should_interpret() -> bool:
@@ -426,7 +561,7 @@ def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def tile_composite(
     data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
@@ -437,19 +572,27 @@ def tile_composite(
     min_response: float = C.MIN_KERNEL_RESPONSE,
     min_alpha: float = C.MIN_ALPHA,
     max_alpha: float = C.MAX_ALPHA,
+    sorted_passes: int = 0,
 ) -> jnp.ndarray:
-    """Returns [num_tiles, 8, 256] forward buffer (see module docstring)."""
+    """Returns [num_tiles, 8, 256] forward buffer (see module docstring).
+
+    `sorted_passes` > 0 enables the per-ray windowed re-sort ("sorted"
+    k-buffer mode); hits displaced up to that many positions from the
+    global depth order composite in exact per-ray order."""
     return _forward(data_sorted, tile_starts, tile_ends, rays, degree,
-                    min_transmittance, min_response, min_alpha, max_alpha)
+                    min_transmittance, min_response, min_alpha, max_alpha,
+                    sorted_passes)
 
 
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
-             min_transmittance, min_response, min_alpha, max_alpha):
+             min_transmittance, min_response, min_alpha, max_alpha,
+             sorted_passes=0):
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
-        min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha)
+        min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
+        sorted_passes=sorted_passes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -476,21 +619,24 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
 
 
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
-              min_transmittance, min_response, min_alpha, max_alpha):
+              min_transmittance, min_response, min_alpha, max_alpha,
+              sorted_passes=0):
     out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
-                   min_transmittance, min_response, min_alpha, max_alpha)
+                   min_transmittance, min_response, min_alpha, max_alpha,
+                   sorted_passes)
     return out, (data_sorted, tile_starts, tile_ends, rays, out)
 
 
 def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
-              res, g_out):
+              sorted_passes, res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _backward_kernel, degree=degree,
         min_transmittance=min_transmittance, min_response=min_response,
-        min_alpha=min_alpha, max_alpha=max_alpha)
+        min_alpha=min_alpha, max_alpha=max_alpha,
+        sorted_passes=sorted_passes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -506,11 +652,11 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
-            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),        # data windows
+            pltpu.VMEM((_N_WBUF, ROW_F, CHUNK), jnp.float32),  # write ring
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((_N_WBUF,)),
+            pltpu.SMEM((2 + _N_WBUF,), jnp.int32),
         ],
     )
     zeros = jnp.zeros(wdata.shape, jnp.float32)

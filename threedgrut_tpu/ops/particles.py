@@ -85,6 +85,8 @@ class HitResult(NamedTuple):
     accept: jnp.ndarray      # bool — reference acceptance test
     hit_t: jnp.ndarray       # scaled projection distance (depth contribution)
     response: jnp.ndarray    # raw kernel response
+    gray_dist: jnp.ndarray   # canonical squared distance (slab-gate input)
+    proj: jnp.ndarray        # canonical hit parameter (front-gate input)
 
 
 def particle_hit(
@@ -98,25 +100,45 @@ def particle_hit(
     min_response: float = MIN_KERNEL_RESPONSE,
     min_alpha: float = MIN_ALPHA,
     max_alpha: float = MAX_ALPHA,
+    surfel: bool = False,
 ) -> HitResult:
     """Evaluate one particle against one ray (vmap for batches).
 
     `density` is the post-activation (sigmoid) opacity scalar.
     Rejected hits return alpha 0 so compositing can be written maskless.
+
+    `surfel=True` is the 2DGS barycentric-surfel variant (reference
+    gaussianParticles.cuh processHit<SurfelPrimitive=true> and
+    barycentricSurfelsOptix.cu): the response is evaluated at the ray's
+    intersection with the particle's canonical z=0 plane, and the hit
+    distance is the scaled plane-intersection distance.
     """
     gro, grd = canonical_ray(position, quat, scale, ray_o, ray_d)
-    gcrod = jnp.cross(grd, gro)
-    gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
-    response = kernel_response(gray_dist, kernel_degree)
+    if surfel:
+        # t to the z=0 plane in canonical units; rays parallel to the plane
+        # (grd.z ~ 0) never hit.
+        gz = grd[..., 2]
+        safe_gz = jnp.where(jnp.abs(gz) > 1e-9, gz, 1.0)
+        t_pl = -gro[..., 2] / safe_gz
+        pt = gro + grd * t_pl[..., None]
+        gray_dist = jnp.where(jnp.abs(gz) > 1e-9,
+                              jnp.sum(pt * pt, axis=-1), jnp.inf)
+        proj = t_pl
+    else:
+        gcrod = jnp.cross(grd, gro)
+        gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
+        proj = jnp.sum(grd * (-gro), axis=-1)
+    response = kernel_response(jnp.where(jnp.isfinite(gray_dist), gray_dist,
+                                         1e6), kernel_degree)
     alpha = jnp.minimum(max_alpha, response * density)
     accept = (response > min_response) & (alpha > min_alpha)
-    # Depth: length of (scale * grd * <grd, -gro>) — the canonical projection of
-    # the center onto the ray, mapped back through the scales.
-    proj = jnp.sum(grd * (-gro), axis=-1)
+    # Depth: length of (scale * grd * t) — the canonical hit parameter mapped
+    # back through the scales (center projection, or plane hit for surfels).
     grds = scale * grd * proj[..., None]
     hit_t = jnp.sqrt(jnp.sum(grds * grds, axis=-1))
     alpha = jnp.where(accept, alpha, 0.0)
-    return HitResult(alpha=alpha, accept=accept, hit_t=hit_t, response=response)
+    return HitResult(alpha=alpha, accept=accept, hit_t=hit_t,
+                     response=response, gray_dist=gray_dist, proj=proj)
 
 
 def particle_normal(
@@ -127,10 +149,20 @@ def particle_normal(
     ray_d: jnp.ndarray,
     ellipsoid_sq_radius: float = 9.0,
     eps: float = 1e-12,
+    surfel: bool = False,
 ) -> jnp.ndarray:
     """Surface normal at the iso-response ellipsoid hit point
-    (reference: gaussianParticles.cuh processHit normal branch)."""
+    (reference: gaussianParticles.cuh processHit normal branch). Surfels use
+    the reference's (0, 0, sign(grd.z) * (R scale).z) accumulation."""
     R = quaternion.to_rotation_matrix(quat)
+    if surfel:
+        gro, grd = canonical_ray(position, quat, scale, ray_o, ray_d)
+        srot_z = jnp.einsum("...ij,...j->...i", R, scale)[..., 2]
+        sign = jnp.where(grd[..., 2] > 0, 1.0, -1.0)
+        z = sign * srot_z
+        out = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
+        norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out / jnp.maximum(norm, eps)
     gro, grd = canonical_ray(position, quat, scale, ray_o, ray_d)
     gcrod = jnp.cross(grd, gro)
     gray_dist = jnp.sum(gcrod * gcrod, axis=-1)

@@ -38,21 +38,50 @@ def _fwd(packed, sorted_idx, perm, particle_ends, particle_counts):
 
 def _bwd(res, g_sorted):
     n, perm, ends, counts = res
+    del counts
     cap = g_sorted.shape[0]
     inv = jnp.argsort(perm)
     g_exp = g_sorted[inv]
     cum = jnp.cumsum(g_exp, axis=0)
-    # Segment [ends-counts, ends) clipped to [0, cap) (capacity overflow
-    # truncates the tail segments).
+    # Segments are back-to-back ([ends[p-1], ends[p]) covers [0, total)), so
+    # one boundary gather suffices: g[p] = cum[ends[p]-1] - cum[ends[p-1]-1]
+    # = top[p] - top[p-1]. Zero-count particles have equal neighbours (diff
+    # 0); capacity overflow clips tail segments at cap.
     e = jnp.minimum(ends, cap)
-    s = jnp.minimum(ends - counts, cap)
-    top_idx = jnp.clip(e - 1, 0, cap - 1)
-    bot_raw = s - 1
-    bot_idx = jnp.clip(bot_raw, 0, cap - 1)
-    top = cum[top_idx]
-    bot = jnp.where((bot_raw >= 0)[:, None], cum[bot_idx], 0.0)
-    g_packed = jnp.where((e > s)[:, None], top - bot, 0.0)
-    return g_packed, None, None, None, None
+    top = jnp.where((e > 0)[:, None], cum[jnp.clip(e - 1, 0, cap - 1)], 0.0)
+    prev = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
+    return top - prev, None, None, None, None
 
 
 sorted_gather.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows(table, idx):
+    """table[idx] with a scatter-free backward for ARBITRARY (repeating)
+    indices: sort the cotangent rows by index, then contiguous segment sums
+    (cumsum + one boundary gather). Used by the 3DGRT bundle path whose
+    candidate lists have no expansion structure to exploit."""
+    return table[idx]
+
+
+def _gr_fwd(table, idx):
+    return table[idx], (table.shape[0], idx)
+
+
+def _gr_bwd(res, g):
+    n, idx = res
+    m = idx.shape[0]
+    keys, order = jax.lax.sort(
+        (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    g_sorted = g[order]
+    cum = jnp.cumsum(g_sorted, axis=0)
+    ends = jnp.searchsorted(keys, jnp.arange(n, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    top = jnp.where((ends > 0)[:, None], cum[jnp.clip(ends - 1, 0, m - 1)],
+                    0.0)
+    prev = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
+    return top - prev, None
+
+
+gather_rows.defvjp(_gr_fwd, _gr_bwd)

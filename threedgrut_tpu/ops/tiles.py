@@ -61,16 +61,24 @@ def bin_particles(
     overflow = total > cap
     starts = ends - counts
 
-    # Slot ownership via scatter + cummax (see module docstring). Slots past
-    # the last range keep the last particle and fail the local < count test.
+    # Slot ownership (see module docstring): forward-fill (particle, start)
+    # from each particle's first slot. Expressed as a cumsum of DELTAS in
+    # f32 — values stay below 2^24 so every partial sum is exact, and a
+    # 2-channel f32 cumsum over [cap] is ~20x cheaper on TPU than the int32
+    # cummax formulation it replaces (measured 44.8 -> ~6 ms at cap=3.4M).
+    # Deltas are vs the previous count>0 particle, computed on the [N] axis.
     has = counts > 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev_idx = jnp.roll(jax.lax.cummax(jnp.where(has, idx, -1)), 1).at[0].set(-1)
+    prev_start = jnp.roll(jax.lax.cummax(jnp.where(has, starts, -1)), 1).at[0].set(-1)
+    d_idx = (idx - jnp.maximum(prev_idx, 0)).astype(jnp.float32)
+    d_start = (starts - jnp.maximum(prev_start, 0)).astype(jnp.float32)
     scatter_to = jnp.where(has, starts, cap)
-    marker = jnp.zeros((cap, 2), jnp.int32).at[scatter_to].max(
-        jnp.stack([jnp.arange(n, dtype=jnp.int32), starts], axis=-1),
-        mode="drop")
-    filled = jax.lax.cummax(marker, axis=0)
-    pidx_c = filled[:, 0]
-    start_of = filled[:, 1]
+    buf = jnp.zeros((cap, 2), jnp.float32).at[scatter_to].set(
+        jnp.stack([d_idx, d_start], axis=-1), mode="drop")
+    filled = jnp.cumsum(buf, axis=0)
+    pidx_c = filled[:, 0].astype(jnp.int32)
+    start_of = filled[:, 1].astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)
     local = slot - start_of
 

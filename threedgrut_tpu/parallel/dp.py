@@ -66,7 +66,8 @@ ALL_AXES = ("data", "tile", "model")
 
 
 def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
-                       sh_degree: int, debug_grads: bool = False):
+                       sh_degree: int, debug_grads: bool = False,
+                       isect_capacity: int | None = None):
     """Build the jitted multi-chip train step.
 
     Call signature of the returned fn:
@@ -85,6 +86,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
         f"{num_tiles} tiles not divisible by tile axis {n_tile}")
     t_local = num_tiles // n_tile
     w, h = resolution
+    if isect_capacity is None:
+        isect_capacity = cfg.render.isect_capacity
 
     def device_fn(params: Gaussians, opt_state, T, camera, gt, key, extent):
         # Per-device operands: T [1,4,4], gt [1,H,W,3], key [1,2].
@@ -125,7 +128,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
                                         tiled=True)
 
             binning = tile_ops.bin_particles(
-                proj, tile_grid, cfg.render.isect_capacity,
+                proj, tile_grid, isect_capacity,
                 tile_culling=cfg.render.tile_culling)
             data_sorted = sorted_gather(
                 packed, binning.sorted_particle_idx, binning.perm,
@@ -165,9 +168,15 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
         (loss, (terms, visibility, overflow, pred)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(fields))
         grads = jax.lax.psum(grads, ALL_AXES)
-        # Visibility across the view batch: a particle visible in any view.
+        # Visibility across the view batch: a particle visible in any view,
+        # refined to hit-based via nonzero gradient (see trainer._step_fn).
         visibility = jax.lax.psum(visibility.astype(jnp.int32),
                                   ALL_AXES) > 0
+        hit_vis = jnp.zeros_like(visibility)
+        for f in optimizers.PARAM_FIELDS:
+            g = grads[f].reshape(visibility.shape[0], -1)
+            hit_vis = hit_vis | jnp.any(g != 0.0, axis=-1)
+        visibility = visibility & hit_vis
         new_params, new_opt = optimizers.step(
             params, params.replace(**grads, alive=params.alive), opt_state,
             cfg.optimizer, extent, visibility=visibility)
@@ -175,6 +184,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
             loss=jax.lax.psum(loss, ALL_AXES),
             psnr=jax.lax.psum(losses.psnr(pred, gt), "data") / n_data,
             overflow=jax.lax.psum(overflow.astype(jnp.int32), ALL_AXES) > 0,
+            # Densification signal (GSStrategy.accumulate): the psum'd grads
+            # already aggregate the view batch, matching the single-chip
+            # accumulation applied once per step.
+            pos_grad_norm=jnp.linalg.norm(grads["positions"], axis=-1),
+            visibility=visibility,
         )
         if debug_grads:
             metrics["grads"] = grads

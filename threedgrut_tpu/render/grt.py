@@ -51,16 +51,24 @@ class TraceResult(NamedTuple):
 def bounding_radius(scales: jnp.ndarray, opacities: jnp.ndarray,
                     kernel_degree: int,
                     min_alpha: float = C.MIN_ALPHA,
-                    min_response: float = C.MIN_KERNEL_RESPONSE):
+                    min_response: float = C.MIN_KERNEL_RESPONSE,
+                    density_clamping: bool = False):
     """World-space radius of the iso-response surface at the acceptance
     threshold (the reference's proxy-primitive size, particlePrimitives.cu).
 
     response(d) * opacity >= min_alpha AND response(d) >= min_response, with
     response(d) = exp(s_n d^(n/2)); canonical sq distance additionally gated
-    at MAX_PARTICLE_SQ_DISTANCE."""
+    at MAX_PARTICLE_SQ_DISTANCE. With `density_clamping` (the reference's
+    MOGRenderAdaptiveKernelClamping, particlePrimitives.cu:27-30, forced on
+    for 3DGRT eval) the floor is raised to min(min_response/density, 0.97) —
+    a slightly lossy per-particle tightening used for eval-time speed."""
     s = C.GG_SCALE[kernel_degree]
     resp_floor = jnp.maximum(min_alpha / jnp.maximum(opacities, 1e-12),
                              min_response)
+    if density_clamping:
+        resp_floor = jnp.maximum(
+            resp_floor,
+            jnp.minimum(min_response / jnp.maximum(opacities, 1e-12), 0.97))
     resp_floor = jnp.minimum(resp_floor, 0.9999)
     if kernel_degree == 0:
         rc = (1.0 - resp_floor) / (-s)
@@ -138,6 +146,27 @@ def bundle_candidates(
     return cand_idx, cand_mask, overflow, visibility
 
 
+def pack_rows64(positions, quats, scales, opacities, features) -> jnp.ndarray:
+    """[N, 64] packed rows for the Pallas bundle compositor
+    (ops/pallas/bundle_trace.py layout: A 9, mean 3, opacity 1, pad 3,
+    SH coeffs 16 per channel)."""
+    from threedgrut_tpu.ops import quaternion
+    n = positions.shape[0]
+    R = quaternion.to_rotation_matrix(quats)
+    A = jnp.swapaxes(R, -1, -2) / scales[..., :, None]
+    k = features.shape[1]
+    coeffs = jnp.concatenate([
+        features, jnp.zeros((n, 16 - k, 3), features.dtype)], axis=1) \
+        if k < 16 else features[:, :16]
+    return jnp.concatenate([
+        A.reshape(n, 9),
+        positions,
+        opacities[..., None],
+        jnp.zeros((n, 3), positions.dtype),
+        coeffs[:, :, 0], coeffs[:, :, 1], coeffs[:, :, 2],
+    ], axis=-1)
+
+
 def trace(
     positions: jnp.ndarray,
     quats: jnp.ndarray,
@@ -154,6 +183,9 @@ def trace(
     initial_transmittance: jnp.ndarray | float = 1.0,
     t_max: jnp.ndarray | None = None,
     return_normals: bool = False,
+    density_clamping: bool = False,
+    order: str = "bundle",
+    surfel: bool = False,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -161,7 +193,15 @@ def trace(
     zero-norm directions are treated as inactive (return zeros). `t_max` [R]
     limits integration to hits with hit_t <= t_max (for hybrid rendering:
     Gaussians in the segment before a mesh hit, reference
-    threedgrut_playground/src/playgroundKernel.cu trace loop)."""
+    threedgrut_playground/src/playgroundKernel.cu trace loop).
+
+    `order` selects the compositing order semantics:
+      * "bundle" (default, Pallas fast path): candidates composite in
+        bundle-axis depth order — exact whenever per-ray hit order agrees
+        with the bundle order (coherent bundles / separated particles), the
+        same locality assumption as the reference's k=16 hit buffer.
+      * "ray": exact per-ray sort (the oracle path; ~100x slower — used by
+        tests, normals rendering, and incoherent secondary bounces)."""
     r_total = rays_o.shape[0]
     assert r_total % bundle_size == 0
     nb = r_total // bundle_size
@@ -170,7 +210,8 @@ def trace(
     active = (dnorm[..., 0] > 1e-12)
     rays_dn = rays_d / jnp.maximum(dnorm, 1e-12)
 
-    radius = bounding_radius(scales, opacities, kernel_degree)
+    radius = bounding_radius(scales, opacities, kernel_degree,
+                             density_clamping=density_clamping)
     valid = opacities >= C.MIN_ALPHA
     bundles = make_bundles(rays_o, jnp.where(active[:, None], rays_dn,
                                              jnp.ones_like(rays_dn)
@@ -178,6 +219,13 @@ def trace(
                            bundle_size)
     cand_idx, cand_mask, overflow, visibility = bundle_candidates(
         positions, radius, valid, bundles, candidate_capacity)
+
+    if (order == "bundle" and not return_normals and bundle_size == 256
+            and not surfel):
+        return _trace_bundle_kernel(
+            positions, quats, scales, opacities, features, rays_o, rays_dn,
+            active, cand_idx, cand_mask, overflow, visibility, sh_degree,
+            kernel_degree, min_transmittance, initial_transmittance, t_max)
 
     o_b = rays_o.reshape(nb, bundle_size, 3)
     d_b = rays_dn.reshape(nb, bundle_size, 3)
@@ -201,17 +249,11 @@ def trace(
 
         hit = particle_ops.particle_hit(
             p[None, :, :], q[None, :, :], s[None, :, :], op[None, :],
-            o[:, None, :], d[:, None, :], kernel_degree)
+            o[:, None, :], d[:, None, :], kernel_degree, surfel=surfel)
         # Proxy-primitive gates: in front of the origin, within the canonical
         # slab (intersectCustomParticle, gaussianParticles.cuh:396-436).
-        gro, grd = particle_ops.canonical_ray(
-            p[None, :, :], q[None, :, :], s[None, :, :],
-            o[:, None, :], d[:, None, :])
-        proj = jnp.sum(grd * (-gro), axis=-1)
-        gcrod = jnp.cross(grd, gro)
-        gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
-        front = proj > 0.0
-        slab = gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE
+        front = hit.proj > 0.0
+        slab = hit.gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE
         in_seg = hit.hit_t <= tmx[:, None]
         alpha = jnp.where(front & slab & in_seg & cm[None, :] & act[:, None],
                           hit.alpha, 0.0)                      # [B, C]
@@ -235,7 +277,7 @@ def trace(
             # normal accumulation, gaussianParticles.cuh).
             nrm = particle_ops.particle_normal(
                 p[None, :, :], q[None, :, :], s[None, :, :],
-                o[:, None, :], d[:, None, :])
+                o[:, None, :], d[:, None, :], surfel=surfel)
             nrm_s = jnp.take_along_axis(nrm, order[..., None], axis=-2)
             normal = jnp.einsum("bk,bkc->bc", res.weights, nrm_s)
         else:
@@ -265,11 +307,65 @@ def trace(
     )
 
 
+def _trace_bundle_kernel(positions, quats, scales, opacities, features,
+                         rays_o, rays_dn, active, cand_idx, cand_mask,
+                         overflow, visibility, sh_degree, kernel_degree,
+                         min_transmittance, initial_transmittance, t_max):
+    """Fast path: gather candidate rows (scatter-free VJP) and run the
+    Pallas bundle compositor (ops/pallas/bundle_trace.py)."""
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    from threedgrut_tpu.ops.sorted_gather import gather_rows
+
+    nb, cap = cand_idx.shape
+    r_total = rays_o.shape[0]
+    # The kernel walks CHUNK-aligned candidate windows.
+    pad = (-cap) % bundle_trace.CHUNK
+    if pad:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
+        cand_mask = jnp.pad(cand_mask, ((0, 0), (0, pad)))
+    capk = cand_idx.shape[1]
+
+    rows64 = pack_rows64(positions, quats, scales, opacities, features)
+    data = gather_rows(rows64, cand_idx.reshape(-1))         # [nb*capk, 64]
+    # Masked slots must not composite: zero their opacity column.
+    data = data.at[:, 12].multiply(
+        cand_mask.reshape(-1).astype(data.dtype))
+
+    if isinstance(initial_transmittance, (int, float)):
+        t0 = jnp.full((r_total,), float(initial_transmittance))
+    else:
+        t0 = initial_transmittance.reshape(r_total)
+    tmx = (jnp.zeros((r_total,)) if t_max is None
+           else jnp.where(jnp.isfinite(t_max), t_max, 0.0).reshape(r_total))
+    rays_img = jnp.concatenate([
+        rays_o, jnp.where(active[:, None], rays_dn, 0.0),
+        tmx[:, None], t0[:, None]], axis=-1)                 # [R, 8]
+    rays = rays_img.reshape(nb, 256, 8).transpose(0, 2, 1)   # [nb, 8, 256]
+
+    out = bundle_trace.bundle_composite(
+        data, rays, kernel_degree, sh_degree, min_transmittance)
+
+    def unrow(i):
+        return out[:, i, :].reshape(r_total)
+
+    return TraceResult(
+        rgb=out[:, 0:3, :].transpose(0, 2, 1).reshape(r_total, 3),
+        opacity=unrow(3),
+        depth=unrow(4),
+        transmittance=unrow(5),
+        hit_count=unrow(6),
+        overflow=overflow,
+        visibility=visibility,
+        normal=None,
+    )
+
+
 def trace_naive(
     positions, quats, scales, opacities, features, rays_o, rays_d,
     sh_degree: int = 3,
     kernel_degree: int = C.KERNEL_DEGREE_3DGRT,
     min_transmittance: float = C.MIN_TRANSMITTANCE_3DGRT,
+    surfel: bool = False,
 ) -> TraceResult:
     """O(R*N) oracle: every particle against every ray, exact sort. The
     correctness reference for the bundle-culled fast path."""
@@ -279,15 +375,9 @@ def trace_naive(
                              1e-12)
     hit = particle_ops.particle_hit(
         positions[None], quats[None], scales[None], opacities[None],
-        rays_o[:, None, :], d[:, None, :], kernel_degree)
-    gro, grd = particle_ops.canonical_ray(
-        positions[None], quats[None], scales[None],
-        rays_o[:, None, :], d[:, None, :])
-    proj = jnp.sum(grd * (-gro), axis=-1)
-    gcrod = jnp.cross(grd, gro)
-    gray_dist = jnp.sum(gcrod * gcrod, axis=-1)
-    alpha = jnp.where((proj > 0.0)
-                      & (gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE),
+        rays_o[:, None, :], d[:, None, :], kernel_degree, surfel=surfel)
+    alpha = jnp.where((hit.proj > 0.0)
+                      & (hit.gray_dist <= C.MAX_PARTICLE_SQ_DISTANCE),
                       hit.alpha, 0.0)
     colors = jnp.maximum(sh_ops.radiance_from_sh(
         sh_degree, features[None],
@@ -317,6 +407,8 @@ def render(
     bundle_size: int = 256,
     candidate_capacity: int = 2048,
     T_to_world: jnp.ndarray | None = None,
+    density_clamping: bool = False,
+    surfel: bool = False,
 ):
     """Camera render through the trace path (render.method = 3dgrt).
 
@@ -335,7 +427,8 @@ def render(
     out = trace(positions, quats, scales, opacities, features, ray_o, ray_d,
                 sh_degree, kernel_degree, min_transmittance,
                 bundle_size=C.TILE_SIZE,
-                candidate_capacity=candidate_capacity)
+                candidate_capacity=candidate_capacity,
+                density_clamping=density_clamping, surfel=surfel)
 
     def unflat(x, ch=None):
         img = x.reshape(tile_grid[1] * tile_grid[0], C.TILE_SIZE, -1)

@@ -163,12 +163,15 @@ def render(
     T_to_world: jnp.ndarray | None = None,
     t_max: jnp.ndarray | None = None,
     ray_jitter: jnp.ndarray | None = None,
+    sorted_passes: int = 0,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
     `isect_capacity` is a static bound on tile intersections; `overflow`
     reports (as data) whether the true count exceeded it. `t_max` [h, w]
     optionally bounds each ray's integration segment (hybrid rendering).
+    `sorted_passes` > 0 enables the per-ray re-sorted ("sorted" k-buffer)
+    compositing mode (reference base_sorted.yaml, k_buffer_size=16).
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
@@ -190,7 +193,7 @@ def render(
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
-        kernel_degree, min_transmittance)
+        kernel_degree, min_transmittance, sorted_passes=sorted_passes)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]

@@ -63,6 +63,7 @@ class Renderer:
         if trainer.cfg.render.method == "3dgrt":
             trainer.cfg.render.min_transmittance = \
                 C.MIN_TRANSMITTANCE_3DGRT_EVAL
+            trainer.cfg.render.particle_kernel_density_clamping = True
         trainer.dataset = dataset
         trainer.scene_extent = float(dataset.scene_extent)
         return cls(trainer, dataset)

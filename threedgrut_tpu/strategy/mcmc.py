@@ -162,7 +162,10 @@ def add_gaussians(params: Gaussians, opt_state: AdamState, key: jax.Array,
         scale=jnp.where(tm, scale_c[src], scale_c),
         alive=params.alive | take,
     )
-    opt_state = zero_opt_slots(opt_state, picked)
+    # The reference's add_new_gaussians appends new gaussians with ZEROED
+    # optimizer state and keeps the sources' moments (mcmc.py:138-142) —
+    # unlike relocate, which zeroes the sources.
+    opt_state = zero_opt_slots(opt_state, take)
     return out, opt_state
 
 
@@ -195,8 +198,9 @@ class MCMCStrategy(BaseStrategy):
         step = trainer.global_step
         cfg = self.cfg
         # Relocation and growth share the GS densify window/frequency
-        # (reference configs/strategy/mcmc.yaml: every 100 in [500, 25000]).
-        if (step >= cfg.densify_start and step < 25000
+        # (reference configs/strategy/mcmc.yaml: every 100 in [500, 25000];
+        # preset_mcmc sets densify_end=25000 accordingly).
+        if (step >= cfg.densify_start and step < cfg.densify_end
                 and step % cfg.mcmc_add_frequency == 0):
             trainer.key, k1, k2 = jax.random.split(trainer.key, 3)
             trainer.params, trainer.opt_state = relocate(

@@ -61,7 +61,9 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
                 candidate_capacity=isect_capacity // 256,
-                T_to_world=T_to_world)
+                T_to_world=T_to_world,
+                density_clamping=cfg.render.particle_kernel_density_clamping,
+                surfel=cfg.render.surfel_primitive)
         else:
             jit_px = None
             if train and cfg.render.ray_jitter:
@@ -75,9 +77,12 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
                 tile_culling=cfg.render.tile_culling,
-                T_to_world=T_to_world, ray_jitter=jit_px)
+                T_to_world=T_to_world, ray_jitter=jit_px,
+                sorted_passes=cfg.render.k_buffer_passes)
+        # Random background only during training (reference background.py:
+        # 62-102 gates the per-pixel random color on model.training).
         pred = background.compose(out.rgb, out.opacity,
-                                  cfg.model.background_color, train=True,
+                                  cfg.model.background_color, train=train,
                                   key=key)
         loss, terms = losses.total_loss(
             pred, rgb_gt, cfg.loss.lambda_l1, cfg.loss.lambda_l2,
@@ -93,11 +98,23 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
 
     (loss, (terms, out, overflow, pred)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(fields)
+    # Hit-based visibility (reference referenceOptix.cu:158-161 /
+    # gutProjector.cuh:275 set the flag on an ACCEPTED hit during render):
+    # a particle composited with weight > 0 this frame. Derived for free
+    # from the gradient — occluded or culled particles receive exactly-zero
+    # cotangents through every path, so nonzero-gradient == contributed.
+    # (Strictly: a contributing particle whose every cotangent is 0 is also
+    # skipped; SelectiveAdam would only have decayed its moments.)
+    hit_vis = jnp.zeros((params.capacity,), jnp.bool_)
+    for f in optimizers.PARAM_FIELDS:
+        g = grads[f].reshape(params.capacity, -1)
+        hit_vis = hit_vis | jnp.any(g != 0.0, axis=-1)
+    visibility = out.visibility & hit_vis
     new_params, new_opt = optimizers.step(
         params, params.replace(**grads, alive=params.alive), opt_state,
-        cfg.optimizer, scene_extent, visibility=out.visibility)
+        cfg.optimizer, scene_extent, visibility=visibility)
     aux = dict(terms=terms, psnr=losses.psnr(pred, rgb_gt),
-               visibility=out.visibility, overflow=overflow,
+               visibility=visibility, overflow=overflow,
                pos_grad_norm=jnp.linalg.norm(grads["positions"], axis=-1))
     return new_params, new_opt, aux
 
@@ -265,6 +282,9 @@ class Trainer:
         flat["opt_step"] = np.asarray(self.opt_state.step)
         flat["global_step"] = np.int64(self.global_step)
         flat["scene_extent"] = np.float64(self.scene_extent)
+        # Persist the grown intersection capacity so a resumed run does not
+        # re-suffer truncated (overflowed) steps until doubling catches up.
+        flat["isect_capacity"] = np.int64(self.isect_capacity)
         # Densification buffers travel with the checkpoint (reference
         # trainer.py:651-672 saves densify_grad_norm_accum/denom).
         strat_state = getattr(self.strategy, "state", None)
@@ -309,6 +329,8 @@ class Trainer:
                         for f in optimizers.PARAM_FIELDS})
         trainer.global_step = int(data["global_step"])
         trainer.scene_extent = float(data["scene_extent"])
+        if "isect_capacity" in data:
+            trainer.isect_capacity = int(data["isect_capacity"])
         strat_state = getattr(trainer.strategy, "state", None)
         if strat_state is not None and dataclasses.is_dataclass(strat_state):
             restored = {

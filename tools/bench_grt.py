@@ -22,9 +22,10 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        n, n_rays, cand, iters = 100_000, 256 * 1024, 4096, 3
+        n, side, cand, iters = 100_000, 512, 2048, 10
     else:
-        n, n_rays, cand, iters = 2_000, 4096, 256, 2
+        n, side, cand, iters = 2_000, 64, 256, 2
+    n_rays = side * side
 
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)).astype(np.float32))
@@ -37,26 +38,40 @@ def main():
     feats[:, 0] = rng.uniform(-1, 1, (n, 3))
     feats = jnp.asarray(feats)
 
+    # Camera-like ray grid with per-pixel jitter, traced in 16x16-pixel-tile
+    # bundles (how render()/the playground bundle rays). Bundle coherence is
+    # what the culling cone exploits — random per-ray directions would make
+    # every cone cover the whole frustum, a workload neither renderer
+    # (reference included: its BVH traversal equally depends on coherence)
+    # ever sees.
     o = jnp.tile(jnp.asarray([[0.0, 0.0, -4.0]]), (n_rays, 1))
-    d = np.stack([rng.uniform(-0.4, 0.4, n_rays),
-                  rng.uniform(-0.4, 0.4, n_rays),
-                  np.ones(n_rays)], -1).astype(np.float32)
+    px = (np.arange(side) + 0.5) / side * 0.8 - 0.4
+    gx, gy = np.meshgrid(px, px, indexing="xy")
+    jit = rng.uniform(-0.4 / side, 0.4 / side, (2,) + gx.shape)
+    d_img = np.stack([gx + jit[0], gy + jit[1], np.ones_like(gx)],
+                     -1).astype(np.float32)
+    t = side // 16
+    d_tiles = d_img.reshape(t, 16, t, 16, 3).transpose(0, 2, 1, 3, 4)
+    d = d_tiles.reshape(n_rays, 3)
     d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
 
     def fwd_bwd(pos, opa):
         def loss(pos, opa):
             out = grt.trace(pos, q, s, opa, feats, o, d,
                             candidate_capacity=cand)
-            return jnp.mean(out.rgb) + jnp.mean(out.opacity)
-        g = jax.grad(loss, argnums=(0, 1))(pos, opa)
-        return pos + 1e-20 * g[0][0, 0], opa + 1e-20 * g[1][0]
+            return (jnp.mean(out.rgb) + jnp.mean(out.opacity),
+                    out.overflow)
+        (_, ovf), g = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(pos, opa)
+        return pos + 1e-20 * g[0][0, 0], opa + 1e-20 * g[1][0], ovf
 
     step = jax.jit(fwd_bwd)
-    p, a = step(pos, opa)
+    p, a, ovf = step(pos, opa)
     np.asarray(p[:1])
+    overflow = bool(ovf)
     t0 = time.perf_counter()
     for _ in range(iters):
-        p, a = step(p, a)
+        p, a, ovf = step(p, a)
     np.asarray(p[:1])
     dt = time.perf_counter() - t0
     rays_per_s = n_rays * iters / dt
@@ -68,6 +83,7 @@ def main():
         "n_gaussians": n,
         "n_rays": n_rays,
         "candidate_capacity": cand,
+        "candidate_overflow": overflow,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))
 

@@ -1,0 +1,232 @@
+"""At-scale training proof: 30k iterations @ 800x800 with GS densification
+growing toward ~1M particles, checkpoints, a mid-run resume, final eval —
+the regime of the reference's published runs (README.md:250-306), on a
+procedural multi-object scene (no real dataset ships on this machine).
+
+    python tools/tpu_train_scale.py run1          # steps 0 -> 12000
+    python tools/tpu_train_scale.py run2          # resume 12000 -> 30000
+    python tools/tpu_train_scale.py eval          # final eval + report
+
+State lives in /root/repo/runs/scale_proof. Ground truth is rendered once
+with the renderer itself from a scripted 220k-Gaussian scene (three object
+clusters + a ground slab) and cached as uint8.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+OUT = "/root/repo/runs/scale_proof"
+RES = (800, 800)
+N_VIEWS, N_VAL = 96, 8
+MID_STEP = 12000
+
+
+def gt_scene(n_total=220_000, seed=0):
+    """Procedural multi-object scene: torus + two spheres + ground slab."""
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    def add(pos, scale_rng, color):
+        n = pos.shape[0]
+        parts.append((
+            pos.astype(np.float32),
+            rng.uniform(*scale_rng, (n, 3)).astype(np.float32),
+            rng.uniform(0.6, 0.95, n).astype(np.float32),
+            (color[None] + rng.normal(0, 0.08, (n, 3))).astype(np.float32)))
+
+    n1 = n_total // 2
+    theta = rng.uniform(0, 2 * np.pi, n1)
+    phi = rng.uniform(0, 2 * np.pi, n1)
+    r_t, r_c = 1.0, 0.3
+    torus = np.stack([(r_t + r_c * np.cos(phi)) * np.cos(theta),
+                      (r_t + r_c * np.cos(phi)) * np.sin(theta),
+                      0.6 + r_c * np.sin(phi)], -1)
+    add(torus, (0.004, 0.012), np.array([0.8, 0.3, 0.2]))
+
+    n2 = n_total // 4
+    for cx, cy, col in ((-0.9, 0.9, [0.2, 0.5, 0.9]),
+                        (0.9, -0.9, [0.3, 0.8, 0.3])):
+        v = rng.normal(size=(n2 // 2, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        sph = v * (0.45 * rng.uniform(0.97, 1.0, (n2 // 2, 1))) \
+            + np.array([cx, cy, 0.8])
+        add(sph, (0.004, 0.01), np.array(col))
+
+    n3 = n_total - n1 - 2 * (n2 // 2)
+    ground = np.stack([rng.uniform(-2.2, 2.2, n3),
+                       rng.uniform(-2.2, 2.2, n3),
+                       rng.normal(0.0, 0.01, n3)], -1)
+    add(ground, (0.01, 0.03), np.array([0.55, 0.5, 0.45]))
+
+    pos = np.concatenate([p[0] for p in parts])
+    scl = np.concatenate([p[1] for p in parts])
+    opa = np.concatenate([p[2] for p in parts])
+    col = np.clip(np.concatenate([p[3] for p in parts]), 0.02, 0.98)
+    quat = rng.normal(size=(pos.shape[0], 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    return pos, quat, scl, opa, col
+
+
+class ScaleDataset:
+    """Renders + caches GT views of the procedural scene (uint8 in RAM)."""
+
+    def __init__(self, split="train"):
+        import jax
+        import jax.numpy as jnp
+        from threedgrut_tpu import constants as C
+        from threedgrut_tpu.cameras import pose_from_matrix
+        from threedgrut_tpu.datasets.dataset_synthetic import look_at
+        from threedgrut_tpu.render import gut
+        from __graft_entry__ import _example_camera
+
+        self.split = split
+        pos, quat, scl, opa, col = gt_scene()
+        self._points = pos
+        self._colors = col
+        n_all = N_VIEWS + N_VAL
+        rng = np.random.default_rng(42)
+        self._Ts = []
+        for i in range(n_all):
+            ang = 2 * np.pi * i / n_all
+            r = 3.6 + 0.4 * np.sin(3 * ang)
+            eye = np.array([r * np.cos(ang), r * np.sin(ang),
+                            1.4 + 0.5 * np.cos(2 * ang)], np.float32)
+            self._Ts.append(look_at(eye, np.array([0, 0, 0.5], np.float32),
+                                    np.array([0., 0., 1.], np.float32)))
+        self.camera = _example_camera(RES)
+        self.scene_extent = 4.8
+        self.observer_points = np.stack([T[:3, 3] for T in self._Ts])
+
+        cache = os.path.join(OUT, "gt_views.npz")
+        if os.path.exists(cache):
+            self._gt = np.load(cache)["gt"]
+        else:
+            print("rendering GT views...", flush=True)
+            feats = np.zeros((pos.shape[0], 16, 3), np.float32)
+            feats[:, 0] = (col - 0.5) / C.SH_C0
+            scene_args = tuple(map(jnp.asarray, (pos, quat, scl, opa, feats)))
+
+            # Never close over device arrays when jitting here (CLAUDE.md:
+            # tracing would execute eager mini-ops through the remote
+            # compiler); everything is an argument.
+            @jax.jit
+            def render_one(g_pos, g_quat, g_scl, g_opa, g_feats, cam, T):
+                p = pose_from_matrix(T)
+                out, ovf = gut.render(g_pos, g_quat, g_scl, g_opa, g_feats,
+                                      cam, p, RES, 1 << 22, T_to_world=T)
+                # White background (the training config composes white too).
+                rgb = out.rgb + (1.0 - out.opacity[..., None])
+                return jnp.clip(rgb, 0, 1), ovf
+
+            gts = []
+            for i, T in enumerate(self._Ts):
+                img, ovf = render_one(*scene_args, self.camera,
+                                      jnp.asarray(T))
+                img = np.asarray(img)
+                assert not bool(ovf), "GT render overflowed; raise capacity"
+                gts.append((img * 255).astype(np.uint8))
+                if i % 16 == 0:
+                    print(f"  view {i}/{n_all}", flush=True)
+            self._gt = np.stack(gts)
+            os.makedirs(OUT, exist_ok=True)
+            np.savez_compressed(cache, gt=self._gt)
+        self._idx = (list(range(N_VIEWS)) if split == "train"
+                     else list(range(N_VIEWS, n_all)))
+
+    def initialization_points(self):
+        rng = np.random.default_rng(7)
+        take = rng.choice(self._points.shape[0], 80_000, replace=False)
+        return (self._points[take]
+                + rng.normal(0, 0.02, (take.size, 3)).astype(np.float32),
+                self._colors[take])
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, i):
+        from threedgrut_tpu.datasets.protocols import View
+        j = self._idx[i]
+        return View(camera=self.camera, T_to_world=self._Ts[j],
+                    rgb_gt=self._gt[j].astype(np.float32) / 255.0,
+                    resolution=RES, mask=None)
+
+
+def build_trainer(resume_path=None):
+    from threedgrut_tpu.config import Config
+    from threedgrut_tpu.model import gaussians
+    from threedgrut_tpu.strategy.gs import GSStrategy
+    from threedgrut_tpu.trainer import Trainer
+
+    ds = ScaleDataset("train")
+    val = ScaleDataset("val")
+    cfg = Config()
+    cfg.render.isect_capacity = 1 << 21
+    cfg.model.capacity = 1 << 20            # densify toward ~1M
+    cfg.train.iterations = 30000
+    cfg.train.checkpoint_iterations = (7000, MID_STEP, 30000)
+    cfg.train.val_frequency = 5000
+    cfg.model.background_color = "white"
+    strategy = GSStrategy(cfg.strategy, cfg.model.capacity)
+    if resume_path:
+        tr = Trainer.load_checkpoint(resume_path, dataset=ds,
+                                     val_dataset=val, strategy=strategy)
+        return tr
+    xyz, rgb = ds.initialization_points()
+    params = gaussians.init_from_points(
+        xyz, colors=rgb, observer_points=ds.observer_points,
+        capacity=cfg.model.capacity)
+    return Trainer(cfg, ds, val_dataset=val, params=params,
+                   strategy=strategy)
+
+
+def main(stage):
+    os.makedirs(OUT, exist_ok=True)
+    log = open(os.path.join(OUT, f"{stage}.log"), "a")
+
+    def rec(**kw):
+        kw["t"] = time.time()
+        log.write(json.dumps(kw) + "\n")
+        log.flush()
+
+    if stage == "run1":
+        tr = build_trainer()
+        rec(stage=stage, start_step=0, n0=int(tr.params.num_active()))
+        t0 = time.time()
+        tr.run(iterations=MID_STEP, log_every=200, out_dir=OUT)
+        rec(stage=stage, end_step=tr.global_step,
+            n=int(tr.params.num_active()), wall_s=time.time() - t0,
+            val=tr.validate())
+    elif stage == "run2":
+        ck = os.path.join(OUT, f"ckpt_{MID_STEP}.npz")
+        tr = build_trainer(resume_path=ck)
+        assert tr.global_step == MID_STEP
+        rec(stage=stage, resumed_from=MID_STEP,
+            n0=int(tr.params.num_active()))
+        t0 = time.time()
+        tr.run(iterations=30000 - MID_STEP, log_every=200, out_dir=OUT)
+        rec(stage=stage, end_step=tr.global_step,
+            n=int(tr.params.num_active()), wall_s=time.time() - t0,
+            val=tr.validate())
+    elif stage == "eval":
+        from threedgrut_tpu.render_eval import Renderer
+        ck = os.path.join(OUT, "ckpt_last.npz")
+        val = ScaleDataset("val")
+        r = Renderer.from_checkpoint(ck, val)
+        summary = r.render_all(out_dir=os.path.join(OUT, "renders"),
+                               compute_lpips=False)
+        rec(stage=stage, summary=summary)
+        print(json.dumps(summary))
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "run1")

@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--with-gui", action="store_true",
                     help="serve a live web viewer during training")
     ap.add_argument("--gui-port", type=int, default=8080)
+    ap.add_argument("--multichip", metavar="D,T,M", default=None,
+                    help="train on a device mesh: data,tile,model axis sizes "
+                         "(e.g. 2,4,1 on 8 chips). One step consumes D views.")
     ap.add_argument("overrides", nargs="*",
                     help="dotted config overrides key=value; special keys: "
                          "path, out_dir, experiment_name, resume")
@@ -71,9 +74,22 @@ def main(argv=None):
     from threedgrut_tpu.utils.writer import MetricsWriter
     writer = MetricsWriter(cfg.out_dir, cfg.experiment_name)
 
+    mesh_shape = None
+    trainer_cls = Trainer
+    if args.multichip:
+        mesh_shape = tuple(int(x) for x in args.multichip.split(","))
+        assert len(mesh_shape) == 3, "--multichip expects D,T,M"
+        from threedgrut_tpu.parallel.trainer import DPTrainer
+        trainer_cls = DPTrainer
+
     if cfg.resume:
-        trainer = Trainer.load_checkpoint(cfg.resume, dataset=dataset,
-                                          val_dataset=val_dataset)
+        if trainer_cls is Trainer:
+            trainer = Trainer.load_checkpoint(cfg.resume, dataset=dataset,
+                                              val_dataset=val_dataset)
+        else:
+            trainer = trainer_cls.load_checkpoint(
+                cfg.resume, dataset=dataset, val_dataset=val_dataset,
+                mesh_shape=mesh_shape)
         trainer.writer = writer
     else:
         if hasattr(dataset, "initialization_points"):
@@ -96,8 +112,10 @@ def main(argv=None):
             from threedgrut_tpu.strategy.mcmc import MCMCStrategy
             strategy = MCMCStrategy(cfg.strategy, cfg.optimizer,
                                     params.capacity)
-        trainer = Trainer(cfg, dataset, val_dataset=val_dataset,
-                          params=params, strategy=strategy, writer=writer)
+        kw = dict(mesh_shape=mesh_shape) if trainer_cls is not Trainer else {}
+        trainer = trainer_cls(cfg, dataset, val_dataset=val_dataset,
+                              params=params, strategy=strategy,
+                              writer=writer, **kw)
 
     gui = None
     if args.with_gui:
