@@ -37,11 +37,13 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # 3369728 = ceil(1.15 * true intersection count for this fixed seeded
+        # 3165440 = ceil(1.08 * true intersection count for this fixed seeded
         # scene, 256-aligned) — precomputed by the autotune probe below (set
         # BENCH_AUTOTUNE=1 to re-derive); hardcoding skips one large compile
         # so the driver's timed run is robust to compile-queue slowness.
-        n, res, iters, cap = 1_000_000, (800, 800), 10, 3369728
+        # Every per-slot stage (sorts, gathers, cumsums, kernel windows)
+        # scales with this capacity; the adaptive trainer sizes the same way.
+        n, res, iters, cap = 1_000_000, (800, 800), 10, 3165440
     else:
         n, res, iters, cap = 2_000, (64, 64), 2, 1 << 13
 

@@ -16,6 +16,7 @@ static) over fully batched ray states; mesh hits are dense Moller-Trumbore
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -165,7 +166,8 @@ class Engine:
             env_at_n = env_mod.sample_envmap(self.envmap, mh.normal,
                                              default_color=(1.0, 1.0, 1.0))
             nd, atten, emitted, cont = mat_mod.bounce(
-                self.materials, mh.material_id, d, mh.normal, env_at_n)
+                self.materials, mh.material_id, d, mh.normal, env_at_n,
+                uv=mh.uv, tangent=mh.tangent)
             radiance = radiance + jnp.where(
                 hit_mesh[:, None], throughput * t_local[:, None] * emitted,
                 0.0)
@@ -231,7 +233,8 @@ class Engine:
         env_at_n = env_mod.sample_envmap(self.envmap, mh.normal,
                                          default_color=(1.0, 1.0, 1.0))
         nd, atten, emitted, cont = mat_mod.bounce(
-            self.materials, mh.material_id, d, mh.normal, env_at_n)
+            self.materials, mh.material_id, d, mh.normal, env_at_n,
+            uv=mh.uv, tangent=mh.tangent)
         hit_mesh = mh.material_id >= 0
         hit_p = o + d * jnp.where(jnp.isfinite(mh.t), mh.t, 0.0)[:, None]
         cont_mask = hit_mesh & cont
@@ -264,6 +267,29 @@ class Engine:
     def render(self, cam: Camera, T_to_world: jnp.ndarray,
                resolution: Tuple[int, int],
                key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+        """Render a frame — ONE jitted program per static (config,
+        resolution); all scene state is passed as arguments (never closed
+        over: eager dispatch is unusable on the remote-TPU setup,
+        CLAUDE.md)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return _render_jit(self.gaussians, self.mesh, self.materials,
+                           self.envmap, cam, jnp.asarray(T_to_world), key,
+                           _cfg_static(self.cfg), resolution)
+
+    def render_hybrid_jit(self, cam: Camera, T_to_world: jnp.ndarray,
+                          resolution: Tuple[int, int],
+                          key: Optional[jax.Array] = None
+                          ) -> Dict[str, jnp.ndarray]:
+        """Jitted wrapper over render_hybrid (same per-config caching)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return _render_hybrid_jit(self.gaussians, self.mesh, self.materials,
+                                  self.envmap, cam, jnp.asarray(T_to_world),
+                                  key, _cfg_static(self.cfg), resolution)
+
+    def _render_eager(self, cam: Camera, T_to_world: jnp.ndarray,
+                      resolution: Tuple[int, int],
+                      key: Optional[jax.Array] = None
+                      ) -> Dict[str, jnp.ndarray]:
         """Render a frame with cfg.spp progressive passes."""
         cfg = self.cfg
         w, h = resolution
@@ -297,3 +323,33 @@ class Engine:
             "opacity": (opac_acc / cfg.spp).reshape(h, w),
             "depth": depth.reshape(h, w),
         }
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points: the engine config is hashable field-wise (all
+# scalars), so it doubles as the static cache key — toggling any option in
+# the GUI retraces exactly once per distinct configuration.
+# ---------------------------------------------------------------------------
+
+def _cfg_static(cfg: EngineConfig):
+    return tuple(dataclasses.asdict(cfg).items())
+
+
+def _cfg_from_static(items) -> EngineConfig:
+    return EngineConfig(**dict(items))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_items", "resolution"))
+def _render_jit(gaussians, mesh, materials, envmap, cam, T, key, cfg_items,
+                resolution):
+    eng = Engine(*gaussians, mesh=mesh, materials=materials, envmap=envmap,
+                 config=_cfg_from_static(cfg_items))
+    return eng._render_eager(cam, T, resolution, key)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_items", "resolution"))
+def _render_hybrid_jit(gaussians, mesh, materials, envmap, cam, T, key,
+                       cfg_items, resolution):
+    eng = Engine(*gaussians, mesh=mesh, materials=materials, envmap=envmap,
+                 config=_cfg_from_static(cfg_items))
+    return eng.render_hybrid(cam, T, resolution, key)

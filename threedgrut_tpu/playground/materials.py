@@ -26,18 +26,52 @@ class MaterialKind(enum.IntEnum):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Materials:
-    """Struct-of-arrays material table, indexed by material_id."""
+    """Struct-of-arrays material table, indexed by material_id.
+
+    Textures (reference: the metallic-roughness texture stacks +
+    normal maps of materials.cuh:1-454) live in per-material stacks of one
+    shared size; materials without a texture carry a 1-pixel neutral level
+    and has_* == 0. Base-color textures MULTIPLY the base_color factor
+    (glTF semantics); normal maps are tangent-space.
+    """
     kind: jnp.ndarray            # [M] int32
     base_color: jnp.ndarray      # [M, 3]
     metallic: jnp.ndarray        # [M]
     roughness: jnp.ndarray       # [M]
     ior: jnp.ndarray             # [M]
     emissive: jnp.ndarray        # [M, 3]
+    tex_color: jnp.ndarray       # [M, TH, TW, 3]
+    has_tex: jnp.ndarray         # [M] int32
+    tex_normal: jnp.ndarray      # [M, NH, NW, 3] in [0, 1]
+    has_normal_tex: jnp.ndarray  # [M] int32
+
+
+def _stack_textures(texs, size_default=(1, 1), neutral=(1.0, 1.0, 1.0)):
+    """Stack per-material textures (or None) to one [M, H, W, 3] array."""
+    import numpy as np
+    hs = [t.shape[0] for t in texs if t is not None] or [size_default[0]]
+    ws = [t.shape[1] for t in texs if t is not None] or [size_default[1]]
+    H, W = max(hs), max(ws)
+    out = np.empty((len(texs), H, W, 3), np.float32)
+    has = np.zeros((len(texs),), np.int32)
+    for i, t in enumerate(texs):
+        if t is None:
+            out[i] = np.asarray(neutral, np.float32)
+        else:
+            t = np.asarray(t, np.float32)
+            if t.shape[:2] != (H, W):
+                yi = (np.arange(H) * t.shape[0] // H)
+                xi = (np.arange(W) * t.shape[1] // W)
+                t = t[yi][:, xi]
+            out[i] = t[..., :3]
+            has[i] = 1
+    return out, has
 
 
 def make_materials(specs) -> Materials:
     import numpy as np
     kinds, colors, metallic, rough, ior, emis = [], [], [], [], [], []
+    texs, ntexs = [], []
     for s in specs:
         kinds.append(int(s.get("kind", MaterialKind.DIFFUSE)))
         colors.append(s.get("base_color", (0.8, 0.8, 0.8)))
@@ -45,13 +79,43 @@ def make_materials(specs) -> Materials:
         rough.append(s.get("roughness", 0.5))
         ior.append(s.get("ior", 1.5))
         emis.append(s.get("emissive", (0.0, 0.0, 0.0)))
+        texs.append(s.get("base_color_texture"))
+        ntexs.append(s.get("normal_texture"))
+    tex, has_tex = _stack_textures(texs)
+    ntex, has_ntex = _stack_textures(ntexs, neutral=(0.5, 0.5, 1.0))
     return Materials(
         kind=jnp.asarray(np.asarray(kinds, np.int32)),
         base_color=jnp.asarray(np.asarray(colors, np.float32)),
         metallic=jnp.asarray(np.asarray(metallic, np.float32)),
         roughness=jnp.asarray(np.asarray(rough, np.float32)),
         ior=jnp.asarray(np.asarray(ior, np.float32)),
-        emissive=jnp.asarray(np.asarray(emis, np.float32)))
+        emissive=jnp.asarray(np.asarray(emis, np.float32)),
+        tex_color=jnp.asarray(tex),
+        has_tex=jnp.asarray(has_tex),
+        tex_normal=jnp.asarray(ntex),
+        has_normal_tex=jnp.asarray(has_ntex))
+
+
+def sample_texture(tex: jnp.ndarray, mid: jnp.ndarray, uv: jnp.ndarray):
+    """Bilinear sample tex [M, H, W, 3] at per-ray (material, uv) — wrap
+    addressing (reference cudaTextureObject default)."""
+    h, w = tex.shape[1], tex.shape[2]
+    x = uv[:, 0] * w - 0.5
+    y = uv[:, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    c00 = tex[mid, y0i, x0i]
+    c10 = tex[mid, y0i, x1i]
+    c01 = tex[mid, y1i, x0i]
+    c11 = tex[mid, y1i, x1i]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
 def reflect(d, n):
@@ -73,7 +137,9 @@ def schlick(cos_i, f0):
 
 
 def bounce(materials: Materials, mat_id: jnp.ndarray, d: jnp.ndarray,
-           n: jnp.ndarray, env_radiance: jnp.ndarray):
+           n: jnp.ndarray, env_radiance: jnp.ndarray,
+           uv: jnp.ndarray | None = None,
+           tangent: jnp.ndarray | None = None):
     """Per-hit shading: returns (next_dir [R,3], attenuation [R,3],
     emitted [R,3], continue_mask [R]).
 
@@ -84,10 +150,27 @@ def bounce(materials: Materials, mat_id: jnp.ndarray, d: jnp.ndarray,
         refracted ray; reflection weight folded into attenuation).
       PBR: metallic-roughness — specular reflection lerped toward the normal
         by roughness; diffuse term emitted locally.
+
+    With `uv` (+`tangent`) provided, base-color textures modulate the color
+    and tangent-space normal maps perturb the shading normal
+    (materials.cuh texture stacks / normal mapping).
     """
     mid = jnp.clip(mat_id, 0, materials.kind.shape[0] - 1)
     kind = materials.kind[mid]
     color = materials.base_color[mid]
+    if uv is not None:
+        tex_rgb = sample_texture(materials.tex_color, mid, uv)
+        color = jnp.where(materials.has_tex[mid][:, None] > 0,
+                          color * tex_rgb, color)
+        if tangent is not None:
+            tn = sample_texture(materials.tex_normal, mid, uv) * 2.0 - 1.0
+            bitan = jnp.cross(n, tangent)
+            n_pert = (tangent * tn[:, 0:1] + bitan * tn[:, 1:2]
+                      + n * tn[:, 2:3])
+            n_pert = n_pert / jnp.maximum(
+                jnp.linalg.norm(n_pert, axis=-1, keepdims=True), 1e-12)
+            n = jnp.where(materials.has_normal_tex[mid][:, None] > 0,
+                          n_pert, n)
     metallic = materials.metallic[mid][:, None]
     rough = materials.roughness[mid][:, None]
     ior = materials.ior[mid]

@@ -24,45 +24,85 @@ class TriangleMesh:
     faces: jnp.ndarray      # [F, 3] int32
     vertex_normals: jnp.ndarray  # [V, 3]
     material_id: jnp.ndarray     # [F] int32
+    uvs: jnp.ndarray             # [V, 2] texture coordinates
+    vertex_tangents: jnp.ndarray  # [V, 3] (UV-aligned, for normal mapping)
 
     @property
     def num_faces(self) -> int:
         return self.faces.shape[0]
 
 
-def make_mesh(vertices: np.ndarray, faces: np.ndarray,
-              material_id: int = 0) -> TriangleMesh:
-    v = np.asarray(vertices, np.float32)
-    f = np.asarray(faces, np.int32)
-    # Area-weighted vertex normals.
+def _vertex_tangents(v, f, vn, uv):
+    """Per-vertex tangents from UV derivatives (reference: mesh tangents fed
+    to materials.cuh normal mapping), orthogonalized against the normal."""
     e1 = v[f[:, 1]] - v[f[:, 0]]
     e2 = v[f[:, 2]] - v[f[:, 0]]
-    fn = np.cross(e1, e2)
-    vn = np.zeros_like(v)
+    du1 = uv[f[:, 1]] - uv[f[:, 0]]
+    du2 = uv[f[:, 2]] - uv[f[:, 0]]
+    det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+    r = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tan_f = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * r[:, None]
+    vt = np.zeros_like(v)
     for k in range(3):
-        np.add.at(vn, f[:, k], fn)
-    norms = np.linalg.norm(vn, axis=-1, keepdims=True)
-    vn = vn / np.maximum(norms, 1e-12)
+        np.add.at(vt, f[:, k], tan_f)
+    # Gram-Schmidt against the vertex normal; fall back to an arbitrary
+    # frame where UVs are degenerate.
+    vt = vt - vn * np.sum(vt * vn, -1, keepdims=True)
+    bad = np.linalg.norm(vt, axis=-1) < 1e-8
+    alt = np.cross(vn, np.where(np.abs(vn[:, 2:3]) < 0.9,
+                                [[0.0, 0.0, 1.0]], [[1.0, 0.0, 0.0]]))
+    vt = np.where(bad[:, None], alt, vt)
+    return vt / np.maximum(np.linalg.norm(vt, axis=-1, keepdims=True), 1e-12)
+
+
+def make_mesh(vertices: np.ndarray, faces: np.ndarray,
+              material_id: int = 0, uvs: Optional[np.ndarray] = None,
+              normals: Optional[np.ndarray] = None,
+              material_ids: Optional[np.ndarray] = None) -> TriangleMesh:
+    v = np.asarray(vertices, np.float32)
+    f = np.asarray(faces, np.int32)
+    if normals is None:
+        # Area-weighted vertex normals.
+        e1 = v[f[:, 1]] - v[f[:, 0]]
+        e2 = v[f[:, 2]] - v[f[:, 0]]
+        fn = np.cross(e1, e2)
+        vn = np.zeros_like(v)
+        for k in range(3):
+            np.add.at(vn, f[:, k], fn)
+        norms = np.linalg.norm(vn, axis=-1, keepdims=True)
+        vn = vn / np.maximum(norms, 1e-12)
+    else:
+        vn = np.asarray(normals, np.float32)
+    uv = (np.zeros((v.shape[0], 2), np.float32) if uvs is None
+          else np.asarray(uvs, np.float32))
+    vt = _vertex_tangents(v, f, vn, uv)
+    mid = (np.full((f.shape[0],), material_id, np.int32)
+           if material_ids is None else np.asarray(material_ids, np.int32))
     return TriangleMesh(
         vertices=jnp.asarray(v), faces=jnp.asarray(f),
         vertex_normals=jnp.asarray(vn),
-        material_id=jnp.full((f.shape[0],), material_id, jnp.int32))
+        material_id=jnp.asarray(mid),
+        uvs=jnp.asarray(uv), vertex_tangents=jnp.asarray(vt))
 
 
 def merge_meshes(meshes) -> TriangleMesh:
-    vs, fs, ns, ms = [], [], [], []
+    vs, fs, ns, ms, uvs, ts = [], [], [], [], [], []
     off = 0
     for m in meshes:
         vs.append(np.asarray(m.vertices))
         fs.append(np.asarray(m.faces) + off)
         ns.append(np.asarray(m.vertex_normals))
         ms.append(np.asarray(m.material_id))
+        uvs.append(np.asarray(m.uvs))
+        ts.append(np.asarray(m.vertex_tangents))
         off += m.vertices.shape[0]
     return TriangleMesh(
         vertices=jnp.asarray(np.concatenate(vs)),
         faces=jnp.asarray(np.concatenate(fs)),
         vertex_normals=jnp.asarray(np.concatenate(ns)),
-        material_id=jnp.asarray(np.concatenate(ms)))
+        material_id=jnp.asarray(np.concatenate(ms)),
+        uvs=jnp.asarray(np.concatenate(uvs)),
+        vertex_tangents=jnp.asarray(np.concatenate(ts)))
 
 
 def load_obj(path: str, material_id: int = 0) -> TriangleMesh:
@@ -139,6 +179,8 @@ class MeshHit(NamedTuple):
     normal: jnp.ndarray     # [R, 3] interpolated shading normal
     material_id: jnp.ndarray  # [R] int32 (-1 = miss)
     bary: jnp.ndarray       # [R, 2] barycentric (u, v)
+    uv: jnp.ndarray         # [R, 2] interpolated texture coordinates
+    tangent: jnp.ndarray    # [R, 3] interpolated tangent (normal mapping)
 
 
 def intersect(mesh: Optional[TriangleMesh], rays_o: jnp.ndarray,
@@ -151,7 +193,9 @@ def intersect(mesh: Optional[TriangleMesh], rays_o: jnp.ndarray,
                        face=jnp.full((r,), -1, jnp.int32),
                        normal=jnp.zeros((r, 3)),
                        material_id=jnp.full((r,), -1, jnp.int32),
-                       bary=jnp.zeros((r, 2)))
+                       bary=jnp.zeros((r, 2)),
+                       uv=jnp.zeros((r, 2)),
+                       tangent=jnp.zeros((r, 3)))
 
     v = mesh.vertices
     f = mesh.faces
@@ -208,6 +252,14 @@ def intersect(mesh: Optional[TriangleMesh], rays_o: jnp.ndarray,
     normal = n0 * (1 - uu - ww) + n1 * uu + n2 * ww
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    w0_ = 1 - uu - ww
+    tex_uv = (mesh.uvs[fidx[:, 0]] * w0_ + mesh.uvs[fidx[:, 1]] * uu
+              + mesh.uvs[fidx[:, 2]] * ww)
+    tangent = (mesh.vertex_tangents[fidx[:, 0]] * w0_
+               + mesh.vertex_tangents[fidx[:, 1]] * uu
+               + mesh.vertex_tangents[fidx[:, 2]] * ww)
+    tangent = tangent / jnp.maximum(
+        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-12)
     miss = ~jnp.isfinite(best_t)
     return MeshHit(
         t=best_t,
@@ -215,4 +267,6 @@ def intersect(mesh: Optional[TriangleMesh], rays_o: jnp.ndarray,
         normal=jnp.where(miss[:, None], 0.0, normal),
         material_id=jnp.where(miss, -1, mesh.material_id[hitf]),
         bary=best_uv,
+        uv=tex_uv,
+        tangent=tangent,
     )

@@ -138,7 +138,10 @@ def bundle_candidates(
     # O(N log C) vs a full per-bundle sort of all N particles, which
     # dominated this path (measured ~30x slower at N=100k, nb=1024).
     key = jnp.where(hit, -t_ax, -jnp.inf)
-    _, cand_idx = jax.lax.top_k(key, capacity)                 # [nb, C]
+    k = min(capacity, key.shape[1])
+    _, cand_idx = jax.lax.top_k(key, k)                        # [nb, k]
+    if k < capacity:                                           # N < capacity
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, capacity - k)))
     cand_idx = cand_idx.astype(jnp.int32)
     slot = jnp.arange(capacity, dtype=jnp.int32)
     cand_mask = slot[None, :] < jnp.minimum(counts, capacity)[:, None]

@@ -102,11 +102,22 @@ class Renderer:
                         os.path.join(out_dir, f"gt_{i:04d}.png"))
 
         psnrs = [r["psnr"] for r in rows]
+        best_i, worst_i = int(np.argmax(psnrs)), int(np.argmin(psnrs))
+        if out_dir:
+            # Best/worst PSNR pred+gt pairs (reference render.py:149-283).
+            from PIL import Image
+            for tag, idx in (("best", best_i), ("worst", worst_i)):
+                view = self.dataset[idx]
+                aux = self.trainer.eval_view(view)
+                Image.fromarray(_to_uint8(np.asarray(aux["pred"]))).save(
+                    os.path.join(out_dir, f"{tag}_psnr_pred_{idx:04d}.png"))
+                Image.fromarray(_to_uint8(np.asarray(view.rgb_gt))).save(
+                    os.path.join(out_dir, f"{tag}_psnr_gt_{idx:04d}.png"))
         summary = {
             "psnr": float(np.mean(psnrs)),
             "ssim": float(np.mean([r["ssim"] for r in rows])),
-            "best_psnr_idx": int(np.argmax(psnrs)),
-            "worst_psnr_idx": int(np.argmin(psnrs)),
+            "best_psnr_idx": best_i,
+            "worst_psnr_idx": worst_i,
             "mean_render_s": float(np.mean(times[1:])) if len(times) > 1
             else float(times[0]),
             "n_frames": len(rows),

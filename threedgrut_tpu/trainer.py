@@ -94,7 +94,8 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
         loss, (terms, out, overflow, pred) = loss_fn(fields)
         return params, opt_state, dict(
             terms=terms, psnr=losses.psnr(pred, rgb_gt), pred=pred,
-            visibility=out.visibility, overflow=overflow)
+            visibility=out.visibility, overflow=overflow,
+            opacity=out.opacity, depth=out.depth, hit_count=out.hit_count)
 
     (loss, (terms, out, overflow, pred)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(fields)
@@ -260,13 +261,42 @@ class Trainer:
                 if self.writer is not None:
                     self.writer.scalars(metrics, self.global_step,
                                         prefix="val/")
-                    aux_v = self.eval_view(self.val_dataset[0])
-                    self.writer.image("val/pred",
-                                      np.asarray(aux_v["pred"]),
-                                      self.global_step)
+                    self.log_val_images()
         if out_dir:
             self.save_checkpoint(out_dir, name="ckpt_last")
         return self
+
+    # ---- validation image panels (reference trainer.py:369-374, 484-497:
+    # pred/gt plus hit-count and inverse-depth jet maps at fixed views) ----
+    _VAL_VIEW_IDS = (0, 13, 27, 43, 78)
+
+    def log_val_images(self) -> None:
+        from threedgrut_tpu.utils.writer import jet_colormap
+        ds = self.val_dataset or self.dataset
+        for vid in self._VAL_VIEW_IDS:
+            if vid >= len(ds):
+                continue
+            view = ds[vid]
+            aux = self.eval_view(view)
+            tagp = f"val_{vid}"
+            self.writer.image(f"{tagp}/pred", np.asarray(aux["pred"]),
+                              self.global_step)
+            self.writer.image(f"{tagp}/gt", np.asarray(view.rgb_gt),
+                              self.global_step)
+            hits = np.asarray(aux["hit_count"])
+            self.writer.image(
+                f"{tagp}/hits_jet",
+                jet_colormap(hits / max(1.0, float(hits.max()))),
+                self.global_step)
+            depth = np.asarray(aux["depth"])
+            opacity = np.asarray(aux["opacity"])
+            inv = np.where(depth > 1e-6, 1.0 / np.maximum(depth, 1e-6), 0.0)
+            inv = inv / max(1e-6, float(inv.max()))
+            self.writer.image(f"{tagp}/inv_depth_jet", jet_colormap(inv),
+                              self.global_step)
+            self.writer.image(f"{tagp}/opacity",
+                              np.repeat(opacity[..., None], 3, -1),
+                              self.global_step)
 
     # ---- checkpointing (reference trainer.py:651-672, model.py:107-134) ----
     def save_checkpoint(self, out_dir: str, name: Optional[str] = None):
