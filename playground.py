@@ -48,19 +48,36 @@ def main(argv=None):
     from threedgrut_tpu.playground import engine as eng_mod
     from threedgrut_tpu.playground import materials as mat_mod
     from threedgrut_tpu.playground import mesh as mesh_mod
+    from threedgrut_tpu.playground.scene import SceneGraph
     from threedgrut_tpu.playground.web_viewer import WebViewer
 
     g = load_gaussians(args.gs_object)
-    mesh = None
-    mats = mat_mod.make_materials(
-        [dict(kind=mat_mod.MaterialKind.MIRROR, base_color=(0.95,) * 3),
-         dict(kind=mat_mod.MaterialKind.GLASS, ior=1.33)])
+    # Editable scene graph (reference Primitives): each asset file becomes a
+    # named primitive; default material table offers mirror + glass.
+    sg = SceneGraph(material_specs=[
+        dict(kind=mat_mod.MaterialKind.MIRROR, base_color=(0.95,) * 3),
+        dict(kind=mat_mod.MaterialKind.GLASS, ior=1.33)])
     if args.mesh_assets and os.path.isdir(args.mesh_assets):
-        objs = [mesh_mod.load_obj(os.path.join(args.mesh_assets, f), i % 2)
-                for i, f in enumerate(sorted(os.listdir(args.mesh_assets)))
-                if f.endswith(".obj")]
-        if objs:
-            mesh = mesh_mod.merge_meshes(objs)
+        for i, f in enumerate(sorted(os.listdir(args.mesh_assets))):
+            name = os.path.splitext(f)[0]
+            if f.endswith(".obj"):
+                sg.add(name, mesh_mod.load_obj(
+                    os.path.join(args.mesh_assets, f), i % 2))
+            elif f.endswith(".glb"):
+                from threedgrut_tpu.playground.gltf import load_glb_scene
+                glb_mesh, glb_specs = load_glb_scene(
+                    os.path.join(args.mesh_assets, f))
+                if glb_mesh is None:
+                    continue
+                off = len(sg.material_specs)
+                for spec in glb_specs:
+                    sg.add_material(spec)
+                sg.add(name, mesh_mod.TriangleMesh(
+                    vertices=glb_mesh.vertices, faces=glb_mesh.faces,
+                    vertex_normals=glb_mesh.vertex_normals,
+                    material_id=glb_mesh.material_id + off,
+                    uvs=glb_mesh.uvs,
+                    vertex_tangents=glb_mesh.vertex_tangents))
     envmap = None
     if args.envmap:
         from threedgrut_tpu.datasets.native_loader import ImageLoader
@@ -69,9 +86,9 @@ def main(argv=None):
     cfg = eng_mod.EngineConfig(max_bounces=args.max_bounces)
     engine = eng_mod.Engine(
         g.get_positions(), g.get_rotation(), g.get_scale(), g.get_density(),
-        g.get_features(), mesh=mesh, materials=mats, envmap=envmap,
-        config=cfg)
-    viewer = WebViewer(engine, resolution=tuple(args.resolution))
+        g.get_features(), mesh=sg.mesh(), materials=sg.materials(),
+        envmap=envmap, config=cfg)
+    viewer = WebViewer(engine, resolution=tuple(args.resolution), scene=sg)
     if args.no_serve:
         frame = viewer.render_frame(0.6, 0.4, 4.0)
         print(f"rendered {frame.shape}, mean {float(frame.mean()):.4f}",

@@ -206,11 +206,104 @@ def test_web_viewer_http(tmp_path):
     try:
         page = urllib.request.urlopen(
             "http://127.0.0.1:18321/", timeout=30).read()
-        assert b"threedgrut_tpu viewer" in page
+        assert b"threedgrut_tpu playground" in page
         img = urllib.request.urlopen(
             "http://127.0.0.1:18321/render?yaw=0.5&pitch=0.3&radius=3",
             timeout=60).read()
         assert img[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        server.shutdown()
+
+
+def test_scene_graph_edits():
+    """SceneGraph primitive/material editing rebuilds stacked buffers."""
+    from threedgrut_tpu.playground.scene import SceneGraph
+    sg = SceneGraph(material_specs=[
+        dict(kind=mat_mod.MaterialKind.MIRROR),
+        dict(kind=mat_mod.MaterialKind.GLASS, ior=1.33)])
+    quad = mesh_mod.make_quad([0, 0, 0], [1, 0, 0], [0, 1, 0])
+    sg.add("floor", quad, translation=(0, 0, -1))
+    sg.add("floor", quad)                       # name collision -> floor_2
+    assert set(sg.primitives) == {"floor", "floor_2"}
+    m = sg.mesh()
+    assert m.num_faces == 4
+    # Transform applies: translated copy sits at z=-1.
+    v = np.asarray(m.vertices)
+    assert np.isclose(v[:4, 2], -1).all() and np.isclose(v[4:, 2], 0).all()
+    # Visibility removes faces from the stack.
+    sg.update("floor_2", visible=False)
+    assert sg.mesh().num_faces == 2
+    # Rotation + scale + material assign.
+    sg.update("floor", rotation_euler=(0, 0, np.pi / 2), scale=2.0,
+              material_id=1)
+    m = sg.mesh()
+    assert int(np.asarray(m.material_id)[0]) == 1
+    v = np.asarray(m.vertices)
+    assert np.isclose(np.abs(v).max(), 2.0, atol=1e-5)   # scaled
+    # Duplicate & remove.
+    sg.duplicate("floor")
+    assert len(sg.primitives) == 3
+    sg.remove("floor")
+    assert "floor" not in sg.primitives
+    # Material edit rebuilds the table.
+    sg.set_material(0, base_color=(1.0, 0.0, 0.0), roughness=0.25)
+    mats = sg.materials()
+    np.testing.assert_allclose(np.asarray(mats.base_color)[0], [1, 0, 0])
+    np.testing.assert_allclose(np.asarray(mats.roughness)[0], 0.25)
+
+
+def test_web_gui_edit_endpoints():
+    """The GUI's POST surface: config, preset, material, primitive, traj."""
+    import json as json_mod
+    import urllib.request
+    from threedgrut_tpu.playground.scene import SceneGraph
+    from threedgrut_tpu.playground.web_viewer import WebViewer
+
+    pos, quat, scale, opa, feats = random_scene(n=16, seed=3, z=0.0)
+    sg = SceneGraph(material_specs=[dict(kind=mat_mod.MaterialKind.MIRROR)])
+    sg.add("ball", mesh_mod.make_icosphere([0, 0, 0], 0.4))
+    cfg = eng_mod.EngineConfig(max_bounces=1, candidate_capacity=16)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats, mesh=sg.mesh(),
+                       materials=sg.materials(), config=cfg)
+    viewer = WebViewer(e, resolution=(16, 16), scene=sg)
+    server = viewer.serve(port=18322, blocking=False)
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:18322{path}",
+            data=json_mod.dumps(body).encode(), method="POST")
+        return json_mod.loads(urllib.request.urlopen(req, timeout=30).read())
+
+    try:
+        st = json_mod.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18322/state", timeout=30).read())
+        assert "ball" in st["scene"]["primitives"]
+        st = post("/config", {"gamma": 2.2, "channel": "density"})
+        assert st["config"]["gamma"] == 2.2 and st["channel"] == "density"
+        st = post("/preset", {"name": "fast"})
+        assert st["config"]["spp"] == 1 and st["config"]["max_bounces"] == 2
+        st = post("/material", {"id": 0, "roughness": 0.7})
+        assert st["scene"]["materials"][0]["roughness"] == 0.7
+        st = post("/primitive", {"name": "ball", "translation": [1, 0, 0]})
+        assert st["scene"]["primitives"]["ball"]["translation"][0] == 1.0
+        assert float(np.asarray(e.mesh.vertices)[:, 0].mean()) > 0.5
+        st = post("/primitive", {"name": "ball", "op": "duplicate"})
+        assert len(st["scene"]["primitives"]) == 2
+        st = post("/traj", {"op": "add", "yaw": 0.1, "pitch": 0.2,
+                            "radius": 3.0})
+        assert len(st["trajectory"]) == 1
+        # Render still works after edits (density channel).
+        img = urllib.request.urlopen(
+            "http://127.0.0.1:18322/render?yaw=0.5&pitch=0.3&radius=3",
+            timeout=120).read()
+        assert img[:2] == b"\xff\xd8"
+        # Unknown field -> 400, state unchanged.
+        import urllib.error
+        try:
+            post("/config", {"nope": 1})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as err:
+            assert err.code == 400
     finally:
         server.shutdown()
 
@@ -317,8 +410,11 @@ def test_textured_quad_golden():
     T = jnp.eye(4)
     out = eng.render(cam, T, (32, 32))
     img = np.asarray(out["rgb"])
-    left = img[16, 8]
-    right = img[16, 24]
+    # Sample interior points (pixel cols 12/20 -> u=0.25/0.75): the texture
+    # edges themselves blend across the seam under wrap addressing (the
+    # CUDA-texture / glTF REPEAT default).
+    left = img[16, 12]
+    right = img[16, 20]
     assert left[0] > 0.2 and left[2] < 0.05, left     # red side
     assert right[2] > 0.2 and right[0] < 0.05, right  # blue side
     # Jit cache: second render with the same static config reuses the trace.

@@ -19,8 +19,12 @@ class _TrainerEngineProxy:
     trainer parameters on every call."""
 
     def __init__(self, trainer, candidate_capacity: int = 1024):
+        from threedgrut_tpu.playground.engine import EngineConfig
         self.trainer = trainer
         self.capacity = candidate_capacity
+        self.cfg = EngineConfig()   # GUI panel state (gamma etc. unused here)
+        self.mesh = None
+        self.materials = None
 
     def render(self, cam, T_to_world, resolution, key=None):
         from threedgrut_tpu.cameras import pose_from_matrix
@@ -37,6 +41,8 @@ class _TrainerEngineProxy:
 
     def render_hybrid(self, cam, T_to_world, resolution, key=None):
         return self.render(cam, T_to_world, resolution, key)
+
+    render_hybrid_jit = render_hybrid
 
 
 class TrainingGUI:

@@ -107,6 +107,13 @@ def _node_transforms(gltf):
 
 def load_glb(path: str) -> Tuple[mesh_mod.TriangleMesh, mat_mod.Materials]:
     """Load a .glb into (merged TriangleMesh, Materials)."""
+    mesh, specs = load_glb_scene(path)
+    return mesh, mat_mod.make_materials(specs)
+
+
+def load_glb_scene(path: str):
+    """Load a .glb into (merged TriangleMesh, material spec dicts) — the
+    spec-dict form composes into an editable SceneGraph material table."""
     with open(path, "rb") as f:
         magic, _version, _length = struct.unpack("<III", f.read(12))
         assert magic == 0x46546C67, "not a GLB file"
@@ -143,7 +150,6 @@ def load_glb(path: str) -> Tuple[mesh_mod.TriangleMesh, mat_mod.Materials]:
         specs.append(spec)
     if not specs:
         specs = [dict(kind=mat_mod.MaterialKind.PBR)]
-    materials = mat_mod.make_materials(specs)
 
     world = _node_transforms(gltf)
     parts = []
@@ -179,4 +185,4 @@ def load_glb(path: str) -> Tuple[mesh_mod.TriangleMesh, mat_mod.Materials]:
                 material_id=prim.get("material", 0),
                 uvs=uv, normals=nrm))
     mesh = mesh_mod.merge_meshes(parts) if parts else None
-    return mesh, materials
+    return mesh, specs
