@@ -370,6 +370,32 @@ def test_denoiser():
     assert out[:, 6].mean() < 0.25 and out[:, 9].mean() > 0.75
 
 
+def test_atrous_denoiser_quality():
+    """SVGF-style a-trous: beats the bilateral on MSE at 1-SPP-like noise
+    while keeping a depth edge sharp."""
+    from threedgrut_tpu.playground.denoiser import (atrous_denoise,
+                                                    bilateral_denoise)
+    rng = np.random.default_rng(1)
+    clean = np.zeros((32, 32, 3), np.float32)
+    clean[:, 16:] = 0.9
+    noisy = (clean + rng.normal(0, 0.18, clean.shape)).astype(np.float32)
+    depth = np.where(np.arange(32)[None, :] >= 16, 2.0, 1.0).astype(
+        np.float32) * np.ones((32, 32), np.float32)
+    out_a = np.asarray(atrous_denoise(jnp.asarray(noisy),
+                                      jnp.asarray(depth)))
+    out_b = np.asarray(bilateral_denoise(jnp.asarray(noisy),
+                                         jnp.asarray(depth)))
+    mse = lambda x: float(np.mean((x - clean) ** 2))
+    assert mse(out_a) < mse(noisy) * 0.25       # strong noise reduction
+    assert mse(out_a) < mse(out_b)              # beats the bilateral
+    # Depth-guided: edge columns stay separated.
+    assert out_a[:, 13].mean() < 0.3 and out_a[:, 18].mean() > 0.6
+    # Variance adaptivity: a clean image passes through ~unchanged.
+    passthru = np.asarray(atrous_denoise(jnp.asarray(clean),
+                                         jnp.asarray(depth)))
+    assert np.abs(passthru - clean).max() < 0.08
+
+
 def test_engine_denoise_flag():
     pos, quat, scale, opa, feats = random_scene(n=16, seed=13)
     from tests.test_cameras import make_pinhole

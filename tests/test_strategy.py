@@ -27,7 +27,8 @@ def test_gs_clone_and_split():
     # scale -> split. Others low grad.
     accum = jnp.zeros(16).at[0].set(10.0).at[1].set(10.0)
     denom = jnp.ones(16, jnp.int32)
-    state = gs.GSState(grad_accum=accum, grad_denom=denom)
+    state = gs.GSState(grad_accum=accum, grad_denom=denom,
+                       rolling_vis=jnp.ones(16))
     scale = params.scale.at[1].set(jnp.log(2.0))  # large
     scale = scale.at[0].set(jnp.log(0.001))       # small
     params = params.replace(scale=scale)
@@ -197,6 +198,29 @@ def test_gs_prune_scale():
     p2 = gs.prune_scale(params, cam_pos, cam_fwd, jnp.float32(100.0), 30.0)
     assert not bool(p2.alive[0])
     assert int(p2.num_active()) == 7
+
+
+def test_gs_prune_weight():
+    """Weight-contribution prune: particles whose rolling hit-based
+    contribution EMA fell below threshold are removed (reference
+    gs.py:205-221 semantics with the kernel's accepted-hit flag)."""
+    params = make_params(n=8, cap=16)
+    state = gs.init_state(16)
+    # Simulate 30 steps where slots 0..3 are hit, 4..7 never are.
+    vis = jnp.zeros(16, bool).at[:4].set(True)
+    grad = jnp.ones(16)
+    cam = jnp.zeros(3)
+    for _ in range(30):
+        state = gs.accumulate(state, params, grad, cam, vis, 0.9)
+    out = gs.prune_weight(params, state, threshold=0.5)
+    alive = np.asarray(out.alive)
+    assert alive[:4].all()                  # contributing slots kept
+    assert not alive[4:8].any()             # never-hit slots pruned
+    # EMA start at 1.0: a freshly added particle survives early steps.
+    s2 = gs.init_state(16)
+    s2 = gs.accumulate(s2, params, grad, cam, vis, 0.9)
+    out2 = gs.prune_weight(params, s2, threshold=0.5)
+    assert np.asarray(out2.alive)[:8].all()
 
 
 def test_gs_density_decay():

@@ -73,6 +73,13 @@ class StrategyConfig:
     densify_scale_threshold: float = 0.01   # relative to scene extent
     prune_density_threshold: float = 0.005
     prune_scale_threshold: float = 0.0      # screen-size prune (0 = off)
+    # Weight-contribution prune (reference gs.py:205-221 + gs.yaml
+    # prune_weight — default-disabled there; threshold applies to a rolling
+    # EMA of the kernel's hit-based contribution flag).
+    prune_weight_frequency: int = -1        # <= 0 = off (reference default)
+    prune_weight_start: int = 500
+    prune_weight_threshold: float = 0.5
+    prune_weight_ema: float = 0.9
     reset_density_frequency: int = 3000
     reset_density_value: float = 0.01
     density_decay_frequency: int = 0      # 0 = off (reference default off)

@@ -161,6 +161,23 @@ def _prefix_inclusive(x):
     return y
 
 
+def _prefix_prod(x):
+    """[CHUNK, PIX] -> (exclusive, total) prefix PRODUCT along the chunk
+    axis. Same Hillis-Steele ladder with multiplies — replaces the former
+    log1p/cumsum/exp round trip for transmittance (two transcendental
+    [CHUNK, PIX] arrays per window) with 8 shifted multiplies; f32 products
+    of (1 - alpha) are the reference renderers' own accumulation form."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    y = x
+    s = 1
+    while s < CHUNK:
+        rolled = pltpu.roll(y, s, axis=0)
+        y = y * jnp.where(row >= s, rolled, 1.0)
+        s *= 2
+    excl = jnp.where(row >= 1, pltpu.roll(y, 1, axis=0), 1.0)
+    return excl, y[CHUNK - 1:CHUNK, :]
+
+
 def _tri_matmuls(x, strict_lower: bool):
     """Prefix sums along the chunk axis (name kept from the MXU variant)."""
     incl = _prefix_inclusive(x)
@@ -183,8 +200,8 @@ def _row_mask(w, start, end):
 # window (the reference's buffer makes the same bounded-displacement
 # assumption at k=16; a 256-wide window resort is stronger except exactly at
 # window boundaries). Only the transmittance/suffix prefix sums depend on
-# order, so the pair math stays in original row layout: we sort log1m with
-# the keys, prefix-sum in sorted order, and map the result back through the
+# order, so the pair math stays in original row layout: we sort (1-alpha)
+# with the keys, prefix-multiply in sorted order, map the result back via the
 # recorded swap masks (one bit per pass, packed in an int32 lane — the
 # network is an involution per pass given its mask).
 
@@ -222,25 +239,26 @@ def _apply_swaps(masks, x, passes, inverse):
     return x
 
 
-def _t_before_excl(alpha, log1m, q, sorted_passes, row_idx=None, start=None,
+def _t_before_excl(alpha, one_m, q, sorted_passes, row_idx=None, start=None,
                    end=None):
-    """Exclusive log-transmittance prefix in compositing order, returned in
-    ORIGINAL row order. sorted_passes == 0 is the global-depth (unsorted)
+    """Exclusive transmittance-product prefix in compositing order, returned
+    in ORIGINAL row order. sorted_passes == 0 is the global-depth (unsorted)
     mode. Also returns the swap masks (or None) for backward reuse."""
     if not sorted_passes:
-        return _tri_matmuls(log1m, strict_lower=True), None
+        excl, _ = _prefix_prod(one_m)
+        return excl, None
     # In-range rows keep their per-ray hit distance as the key — they are
     # already in global depth order, so displacements equal the true per-ray
     # inversion distances. Rows OUTSIDE [start, end) (neighbor tiles' slots
     # sharing the window, zero padding) are pinned in place with -/+inf so
-    # they never consume transposition passes (they carry log1m == 0, their
+    # they never consume transposition passes (they carry one_m == 1, their
     # position is irrelevant).
     key = q["hit_t"]
     if row_idx is not None:
         key = jnp.where(row_idx < start, jnp.float32(-3.4e38), key)
         key = jnp.where(row_idx >= end, jnp.float32(3.4e38), key)
-    (log1m_s,), masks = _oddeven_sort(key, [log1m], sorted_passes)
-    excl_s = _tri_matmuls(log1m_s, strict_lower=True)
+    (one_m_s,), masks = _oddeven_sort(key, [one_m], sorted_passes)
+    excl_s, _ = _prefix_prod(one_m_s)
     return _apply_swaps(masks, excl_s, sorted_passes, inverse=True), masks
 
 
@@ -283,13 +301,13 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         q = _pair_quantities(S, rays, degree)
         alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                    max_alpha)
-        log1m = jnp.log1p(-alpha)
+        one_m = 1.0 - alpha
         row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                    + w * CHUNK)
-        excl, _ = _t_before_excl(alpha, log1m, q, sorted_passes,
+        excl, _ = _t_before_excl(alpha, one_m, q, sorted_passes,
                                  row_idx, start, end)
         t_carry = out_ref[0, 5, :][None, :]
-        t_before = t_carry * jnp.exp(excl)
+        t_before = t_carry * excl
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
 
@@ -301,9 +319,13 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         out_ref[0, 3, :] += jnp.sum(w_, axis=0)
         out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
         out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32), axis=0)
-        processed_log = jnp.where(live, log1m, 0.0)
-        out_ref[0, 5, :] = (t_carry * jnp.exp(
-            jnp.sum(processed_log, axis=0, keepdims=True)))[0]
+        # Transmittance is monotone non-increasing along COMPOSITING order
+        # and frozen at ray termination (dead rows composite nothing), so
+        # the end-of-window carry is min over LIVE rows of T-after-row,
+        # floored at the incoming carry — order-independent, which also
+        # makes it exact under the per-ray re-sorted mode.
+        t_after = jnp.where(live, t_before * one_m, jnp.float32(3.4e38))
+        out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0), t_carry[0])
         alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
         return w + 1, alive
 
@@ -402,12 +424,12 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         q = _pair_quantities(S, rays, degree)
         alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                         max_alpha)
-        log1m = jnp.log1p(-alpha)
+        one_m = 1.0 - alpha
         row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                    + w * CHUNK)
-        excl, masks = _t_before_excl(alpha, log1m, q, sorted_passes,
+        excl, masks = _t_before_excl(alpha, one_m, q, sorted_passes,
                                      row_idx, start, end)
-        t_before = t_carry_v[None, :] * jnp.exp(excl)
+        t_before = t_carry_v[None, :] * excl
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
 
@@ -431,7 +453,6 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
             incl = _tri_matmuls(wq, strict_lower=False)  # inclusive prefix
             suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
 
-        one_m = 1.0 - alpha
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
         d_alpha = jnp.where(
             w_ > 0.0,
@@ -516,8 +537,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         wstate[0] = w
         wstate[1] = k + 1
 
-        processed_log = jnp.where(live, log1m, 0.0)
-        t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
+        # Same order-independent min-reduce carry as the forward kernel.
+        t_carry_new = jnp.minimum(jnp.min(
+            jnp.where(live, t_before * one_m, jnp.float32(3.4e38)), axis=0),
+            t_carry_v)
         prefix_new = prefix_v + jnp.sum(wq, axis=0)
         return w + 1, t_carry_new, prefix_new
 

@@ -26,6 +26,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _blocked_cumsum(x, block: int = 256):
+    """Two-level cumsum along axis 0 of [M, F]. XLA expands a flat cumsum
+    into log2(M) ~ 22 shifted-add passes over the full array at M = 3.4M;
+    splitting into [M/block, block, F] intra-block scans (log2(block) = 8
+    passes) plus a tiny carry scan cuts HBM traffic ~2.7x."""
+    m, f = x.shape
+    if m % block:
+        return jnp.cumsum(x, axis=0)
+    xb = x.reshape(m // block, block, f)
+    intra = jnp.cumsum(xb, axis=1)
+    carry = jnp.cumsum(intra[:, -1], axis=0)
+    carry = jnp.concatenate([jnp.zeros_like(carry[:1]), carry[:-1]], axis=0)
+    return (intra + carry[:, None]).reshape(m, f)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def sorted_gather(packed, sorted_idx, perm, particle_ends, particle_counts):
     return packed[sorted_idx]
@@ -48,7 +63,7 @@ def _bwd(res, g_sorted):
     ops = (perm,) + tuple(g_sorted[:, i] for i in range(g_sorted.shape[1]))
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     g_exp = jnp.stack(sorted_ops[1:], axis=-1)
-    cum = jnp.cumsum(g_exp, axis=0)
+    cum = _blocked_cumsum(g_exp)
     # Segments are back-to-back ([ends[p-1], ends[p]) covers [0, total)), so
     # one boundary gather suffices: g[p] = cum[ends[p]-1] - cum[ends[p-1]-1]
     # = top[p] - top[p-1]. Zero-count particles have equal neighbours (diff
@@ -81,7 +96,7 @@ def _gr_bwd(res, g):
     keys, order = jax.lax.sort(
         (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
     g_sorted = g[order]
-    cum = jnp.cumsum(g_sorted, axis=0)
+    cum = _blocked_cumsum(g_sorted)
     ends = jnp.searchsorted(keys, jnp.arange(n, dtype=jnp.int32),
                             side="right").astype(jnp.int32)
     top = jnp.where((ends > 0)[:, None], cum[jnp.clip(ends - 1, 0, m - 1)],

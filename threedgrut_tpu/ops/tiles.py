@@ -76,7 +76,8 @@ def bin_particles(
     scatter_to = jnp.where(has, starts, cap)
     buf = jnp.zeros((cap, 2), jnp.float32).at[scatter_to].set(
         jnp.stack([d_idx, d_start], axis=-1), mode="drop")
-    filled = jnp.cumsum(buf, axis=0)
+    from threedgrut_tpu.ops.sorted_gather import _blocked_cumsum
+    filled = _blocked_cumsum(buf)
     pidx_c = filled[:, 0].astype(jnp.int32)
     start_of = filled[:, 1].astype(jnp.int32)
     slot = jnp.arange(cap, dtype=jnp.int32)

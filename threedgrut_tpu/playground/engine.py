@@ -47,9 +47,11 @@ class EngineConfig:
     use_dof: bool = False
     aperture: float = 0.01
     focus_z: float = 1.0
-    # Denoiser toggle (reference: OptiX AI denoiser; here a depth-guided
-    # bilateral filter, playground/denoiser.py).
+    # Denoiser toggle (reference: OptiX AI denoiser; here the SVGF-style
+    # a-trous wavelet filter or a depth-guided bilateral,
+    # playground/denoiser.py).
     denoise: bool = False
+    denoiser: str = "atrous"            # "atrous" | "bilateral"
 
 
 class Engine:
@@ -311,9 +313,10 @@ class Engine:
                 depth = dep
         rgb = acc / cfg.spp
         if cfg.denoise:
-            from threedgrut_tpu.playground.denoiser import bilateral_denoise
-            rgb = bilateral_denoise(rgb.reshape(h, w, 3),
-                                    depth.reshape(h, w)).reshape(-1, 3)
+            from threedgrut_tpu.playground import denoiser as dn
+            fn = (dn.atrous_denoise if cfg.denoiser == "atrous"
+                  else dn.bilateral_denoise)
+            rgb = fn(rgb.reshape(h, w, 3), depth.reshape(h, w)).reshape(-1, 3)
         if cfg.tonemap:
             rgb = env_mod.filmic_tonemap(rgb)
         if cfg.gamma != 1.0:

@@ -94,7 +94,9 @@ function buildPanel(){
   h+=`<label><input type=checkbox ${c.tonemap?'checked':''} `+
      `onchange="cfg('tonemap',this.checked)">Filmic tonemap</label>`;
   h+=`<label><input type=checkbox ${c.denoise?'checked':''} `+
-     `onchange="cfg('denoise',this.checked)">Denoiser</label></div>`;
+     `onchange="cfg('denoise',this.checked)">Denoiser</label>`;
+  h+=`<label>Filter <select onchange="cfg('denoiser',this.value)">`+
+     ['atrous','bilateral'].map(x=>`<option ${c.denoiser==x?'selected':''}>${x}</option>`).join('')+'</select></label></div>';
   h+='<h3>Depth of Field</h3><div class=sec>';
   h+=`<label><input type=checkbox ${c.use_dof?'checked':''} `+
      `onchange="cfg('use_dof',this.checked)">Enable</label>`;

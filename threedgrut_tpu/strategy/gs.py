@@ -34,23 +34,32 @@ from threedgrut_tpu.strategy.base import BaseStrategy, zero_opt_slots
 class GSState:
     grad_accum: jnp.ndarray   # [C]
     grad_denom: jnp.ndarray   # [C] int32
+    rolling_vis: jnp.ndarray  # [C] EMA of hit-based contribution (the role
+                              # of the reference's rolling_weight_contrib,
+                              # gs.py:205-221)
 
 
 def init_state(capacity: int) -> GSState:
     return GSState(grad_accum=jnp.zeros((capacity,), jnp.float32),
-                   grad_denom=jnp.zeros((capacity,), jnp.int32))
+                   grad_denom=jnp.zeros((capacity,), jnp.int32),
+                   rolling_vis=jnp.ones((capacity,), jnp.float32))
 
 
 @jax.jit
 def accumulate(state: GSState, params: Gaussians, pos_grad_norm: jnp.ndarray,
-               cam_pos: jnp.ndarray) -> GSState:
-    """pos_grad_norm: [C] = ||dL/dpos|| this step (trainer aux)."""
+               cam_pos: jnp.ndarray, visibility: jnp.ndarray,
+               vis_ema: float = 0.9) -> GSState:
+    """pos_grad_norm: [C] = ||dL/dpos|| this step (trainer aux);
+    visibility: [C] bool, the kernel's accepted-hit flag."""
     mask = (pos_grad_norm != 0.0) & params.alive
     dist = jnp.linalg.norm(params.positions - cam_pos, axis=-1)
     return GSState(
         grad_accum=state.grad_accum + jnp.where(
             mask, pos_grad_norm * dist * 0.5, 0.0),
         grad_denom=state.grad_denom + mask.astype(jnp.int32),
+        rolling_vis=(vis_ema * state.rolling_vis
+                     + (1.0 - vis_ema) * (visibility != 0).astype(
+                         jnp.float32)),
     )
 
 
@@ -163,6 +172,17 @@ def prune_scale(params: Gaussians, cam_positions: jnp.ndarray,
 
 
 @jax.jit
+def prune_weight(params: Gaussians, state: GSState, threshold: float):
+    """Weight-contribution pruning (reference gs.py:205-221): drop particles
+    whose rolling contribution fell below `threshold`. The reference's
+    `rolling_weight_contrib` buffer is referenced only at its prune site —
+    here it is realized as an EMA of the Pallas kernel's per-particle
+    accepted-hit flag (hit with blend weight > 0 this frame)."""
+    keep = state.rolling_vis >= threshold
+    return params.replace(alive=params.alive & keep)
+
+
+@jax.jit
 def decay_density(params: Gaussians, gamma: float):
     """density_logit <- logit(gamma * sigmoid(density)) — multiplicative
     opacity decay (reference gs.py decay_density hook)."""
@@ -185,10 +205,13 @@ class GSStrategy(BaseStrategy):
         self.state = init_state(capacity)
 
     def post_backward(self, trainer, view, aux) -> None:
-        if trainer.global_step <= self.cfg.densify_end:
+        if trainer.global_step <= self.cfg.densify_end \
+                or self.cfg.prune_weight_frequency > 0:
             cam_pos = jnp.asarray(view.T_to_world[:3, 3])
             self.state = accumulate(self.state, trainer.params,
-                                    aux["pos_grad_norm"], cam_pos)
+                                    aux["pos_grad_norm"], cam_pos,
+                                    aux["visibility"],
+                                    self.cfg.prune_weight_ema)
 
     def _due(self, step: int, start: int, end: int, freq: int) -> bool:
         return freq > 0 and start <= step and (end < 0 or step < end) \
@@ -208,6 +231,10 @@ class GSStrategy(BaseStrategy):
             trainer.params, trainer.opt_state, self.state = prune(
                 trainer.params, trainer.opt_state, self.state,
                 self.cfg.prune_density_threshold)
+        if self._due(step, self.cfg.prune_weight_start, -1,
+                     self.cfg.prune_weight_frequency):
+            trainer.params = prune_weight(trainer.params, self.state,
+                                          self.cfg.prune_weight_threshold)
         if self._due(step, self.cfg.reset_density_frequency, -1,
                      self.cfg.reset_density_frequency):
             trainer.params = reset_density(trainer.params,

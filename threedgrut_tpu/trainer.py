@@ -167,6 +167,10 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.isect_capacity = cfg.render.isect_capacity
         self.stats: Dict[str, Any] = {}
+        # Per-stage wall-clock accumulators since the last TB flush
+        # (reference trainer.py: per-stage frame timings panel; host wall
+        # time here — the jitted step is one device program).
+        self._stage_s = {"data": 0.0, "step": 0.0, "strategy": 0.0}
 
     # ---- progressive SH (reference trainer.py:764-766, model.py:573-580) ----
     def active_sh_degree(self) -> int:
@@ -202,8 +206,10 @@ class Trainer:
             print(f"isect overflow at step {self.global_step}; capacity -> "
                   f"{self.isect_capacity}", flush=True)
         if self.strategy is not None:
+            t_s = time.time()
             self.strategy.post_backward(self, view, aux)
             self.strategy.post_optimizer_step(self, view, aux)
+            self._stage_s["strategy"] += time.time() - t_s
         return aux
 
     def eval_view(self, view) -> Dict[str, Any]:
@@ -234,8 +240,12 @@ class Trainer:
         stream = iterate_epochs(len(self.dataset), self.cfg.train.seed)
         t0 = time.time()
         for _ in range(iters):
+            t_d = time.time()
             view = self.dataset[next(stream)]
+            t_s = time.time()
+            self._stage_s["data"] += t_s - t_d
             aux = self.train_step(view)
+            self._stage_s["step"] += time.time() - t_s
             if log_every and self.global_step % log_every == 0:
                 loss = float(aux["terms"]["total"])
                 psnr = float(aux["psnr"])
@@ -251,6 +261,11 @@ class Trainer:
                                        self.global_step)
                     self.writer.scalar("train/it_per_s", rate,
                                        self.global_step)
+                    for k, v in self._stage_s.items():
+                        self.writer.scalar(f"train/time_{k}_ms",
+                                           1e3 * v / log_every,
+                                           self.global_step)
+                        self._stage_s[k] = 0.0
             if out_dir and self.global_step in self.cfg.train.checkpoint_iterations:
                 self.save_checkpoint(out_dir)
             if (self.cfg.train.val_frequency
@@ -351,6 +366,7 @@ class Trainer:
             trainer.isect_capacity = cfg.render.isect_capacity
             trainer.writer = None
             trainer.stats = {}
+            trainer._stage_s = {"data": 0.0, "step": 0.0, "strategy": 0.0}
         trainer.opt_state = optimizers.AdamState(
             step=jnp.asarray(data["opt_step"]),
             exp_avg={f: jnp.asarray(data[f"m/{f}"])

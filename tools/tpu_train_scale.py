@@ -174,6 +174,14 @@ def build_trainer(resume_path=None):
     cfg.train.checkpoint_iterations = (7000, MID_STEP, 30000)
     cfg.train.val_frequency = 5000
     cfg.model.background_color = "white"
+    # The procedural scene is radiometrically easy (train PSNR ~46 with 91k
+    # particles), so the reference-default grad threshold barely densifies.
+    # The proof must exercise the ~1M-particle regime (VERDICT item 3), so
+    # run2 lowers the threshold via env to force clone/split up to capacity.
+    gt_env = os.environ.get("SCALE_GRAD_TH")
+    if gt_env:
+        cfg.strategy.densify_grad_threshold = float(gt_env)
+        print(f"densify_grad_threshold override -> {gt_env}", flush=True)
     strategy = GSStrategy(cfg.strategy, cfg.model.capacity)
     if resume_path:
         tr = Trainer.load_checkpoint(resume_path, dataset=ds,
