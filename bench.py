@@ -44,6 +44,8 @@ def main():
         # Every per-slot stage (sorts, gathers, cumsums, kernel windows)
         # scales with this capacity; the adaptive trainer sizes the same way.
         n, res, iters, cap = 1_000_000, (800, 800), 10, 3165440
+        import os as _os_cap
+        cap = int(_os_cap.environ.get("BENCH_CAPACITY", cap))
     else:
         n, res, iters, cap = 2_000, (64, 64), 2, 1 << 13
 

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from threedgrut_tpu import constants as C
 
-CHUNK = 256          # sorted-list rows per window
+import os as _os
+CHUNK = int(_os.environ.get("TILE_RASTER_CHUNK", "256"))  # rows per window
 PIX = C.TILE_SIZE    # 256 pixels per tile
 ROW_F = 16           # packed floats per particle
 

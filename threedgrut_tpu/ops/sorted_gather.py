@@ -62,12 +62,26 @@ def _bwd(res, g_sorted):
     # row-dispatch-bound, sorts are bandwidth-bound.
     ops = (perm,) + tuple(g_sorted[:, i] for i in range(g_sorted.shape[1]))
     sorted_ops = jax.lax.sort(ops, num_keys=1)
+    # Contiguous segments ([ends[p-1], ends[p]) covers [0, total)) reduce in
+    # one Pallas pass (ops/pallas/segment_sum.py) — replaces the former
+    # stack + [cap, 16] cumsum + 1M-row boundary gather (~42 -> ~11 ms at
+    # cap=3.4M; the gather's per-row dispatch dominated).
+    import os
+    from threedgrut_tpu.ops.pallas import tile_raster
+    if (cap % 256 == 0 and not tile_raster._should_interpret()
+            and os.environ.get("THREEDGRUT_SEGSUM", "pallas") != "xla"):
+        from threedgrut_tpu.ops.pallas.segment_sum import segment_sum_rows
+        g_cm = jnp.stack(sorted_ops[1:], axis=0)          # [16, cap]
+        ne = ends.shape[0]                # may exceed n (capacity padding)
+        ne_pad = -(-ne // 256) * 256
+        e_pad = ends if ne_pad == ne else jnp.concatenate(
+            [ends, jnp.broadcast_to(ends[-1:], (ne_pad - ne,))])
+        # [F, N] channel-major out; the .T is a free bitcast (layout note in
+        # segment_sum_rows' docstring).
+        return (segment_sum_rows(g_cm, e_pad)[:, :n].T,
+                None, None, None, None)
     g_exp = jnp.stack(sorted_ops[1:], axis=-1)
     cum = _blocked_cumsum(g_exp)
-    # Segments are back-to-back ([ends[p-1], ends[p]) covers [0, total)), so
-    # one boundary gather suffices: g[p] = cum[ends[p]-1] - cum[ends[p-1]-1]
-    # = top[p] - top[p-1]. Zero-count particles have equal neighbours (diff
-    # 0); capacity overflow clips tail segments at cap.
     e = jnp.minimum(ends, cap)
     top = jnp.where((e > 0)[:, None], cum[jnp.clip(e - 1, 0, cap - 1)], 0.0)
     prev = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)

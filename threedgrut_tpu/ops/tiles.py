@@ -50,6 +50,113 @@ def bin_particles(
     isect_capacity: int,
     tile_culling: bool = True,
 ) -> TileBinning:
+    # The Pallas expansion runs on real TPU only: in interpret mode (CPU
+    # tests, the CPU leg of tools/tpu_vs_cpu_check.py) the XLA path is the
+    # oracle and ~100x faster than emulated DMA. Outputs are exact-equal
+    # (tests/test_binning.py pins the kernel contract in interpret mode at
+    # small shapes). THREEDGRUT_BIN=xla forces the XLA path for bisection.
+    import os
+    from threedgrut_tpu.ops.pallas import tile_raster
+    if (isect_capacity % 256 == 0
+            and not tile_raster._should_interpret()
+            and os.environ.get("THREEDGRUT_BIN", "pallas") != "xla"):
+        return _bin_particles_pallas(proj, tile_grid, isect_capacity,
+                                     tile_culling)
+    return _bin_particles_xla(proj, tile_grid, isect_capacity, tile_culling)
+
+
+def _bin_particles_pallas(
+    proj: Projection,
+    tile_grid: Tuple[int, int],
+    isect_capacity: int,
+    tile_culling: bool = True,
+) -> TileBinning:
+    """Expansion + key math in one Pallas pass (ops/pallas/expand.py); the
+    only remaining per-row XLA stages are one 2-operand rank sort, one
+    1M-row compaction gather, and the final lexicographic pair sort."""
+    from threedgrut_tpu.ops.pallas import expand as ex
+
+    gx, gy = tile_grid
+    num_tiles = gx * gy
+    n = proj.depth.shape[0]
+    cap = isect_capacity
+
+    counts = proj.n_tiles.astype(jnp.int32)
+    ends = jnp.cumsum(counts)
+    total = ends[-1]
+    overflow = total > cap
+
+    # Compact live particles by rank (stable 2-operand sort) so segment ends
+    # are strictly increasing — bounds every 256-slot window's owners to
+    # <= 257 consecutive ranks (see expand.py docstring).
+    has = counts > 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, ids_of_rank = jax.lax.sort(
+        ((~has).astype(jnp.int32), idx), num_keys=1)
+
+    attrs = jnp.concatenate([
+        proj.tile_min.astype(jnp.float32),                      # 0:2
+        (proj.tile_max[:, 0] - proj.tile_min[:, 0])[:, None]
+        .astype(jnp.float32),                                   # 2 bbox_w
+        counts[:, None].astype(jnp.float32),                    # 3
+        proj.depth[:, None],                                    # 4
+        proj.conic,                                             # 5:8
+        proj.center,                                            # 8:10
+        proj.max_power[:, None],                                # 10
+    ], axis=-1)                                                 # [N, 11]
+    a_rank = attrs[ids_of_rank]                                 # [m, 11]
+    counts_rank = a_rank[:, 3].astype(jnp.int32)
+    ends_rank = jnp.cumsum(counts_rank)
+    starts_rank = (ends_rank - counts_rank).astype(jnp.float32)
+    a_rank = jnp.concatenate([
+        a_rank,
+        starts_rank[:, None],                                   # 11 start
+        ids_of_rank.astype(jnp.float32)[:, None],               # 12 pidx
+        jnp.ones((n, 1), jnp.float32),                          # 13 owned
+        jnp.zeros((n, 2), jnp.float32),
+    ], axis=-1)                                                 # [N, 16]
+
+    m_pad = max(512, -(-n // 256) * 256)
+    if m_pad != n:
+        a_rank = jnp.concatenate(
+            [a_rank, jnp.zeros((m_pad - n, 16), jnp.float32)])
+        ends_rank = jnp.concatenate(
+            [ends_rank, jnp.broadcast_to(ends_rank[-1:], (m_pad - n,))])
+
+    # Binning is a discrete structure decision: no gradient flows through
+    # the sort keys (the reference's CUB pipeline likewise sits outside
+    # autodiff), and pallas_call has no JVP rule to trace through.
+    tile_key, depth_key, pidx_c = ex.expand_keys(
+        jax.lax.stop_gradient(a_rank.T), ends_rank.astype(jnp.int32),
+        cap, tile_grid, tile_culling)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    sorted_tile, _, sorted_idx, perm = jax.lax.sort(
+        (tile_key, depth_key, pidx_c, slot), num_keys=2)
+
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
+    tends = jnp.searchsorted(sorted_tile, tiles, side="right").astype(jnp.int32)
+
+    return TileBinning(
+        sorted_particle_idx=sorted_idx,
+        sorted_tile=sorted_tile,
+        tile_starts=tstarts,
+        tile_ends=tends,
+        num_intersections=total,
+        overflow=overflow,
+        perm=perm,
+        particle_ends=ends,
+        particle_counts=counts,
+    )
+
+
+def _bin_particles_xla(
+    proj: Projection,
+    tile_grid: Tuple[int, int],
+    isect_capacity: int,
+    tile_culling: bool = True,
+) -> TileBinning:
     gx, gy = tile_grid
     num_tiles = gx * gy
     n = proj.depth.shape[0]

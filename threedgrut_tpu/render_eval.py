@@ -78,12 +78,18 @@ class Renderer:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
         times = []
+        n_ovf = 0
         for i in range(len(self.dataset)):
             view = self.dataset[i]
             t0 = time.perf_counter()
             aux = self.trainer.eval_view(view)
             pred = np.asarray(aux["pred"])
             times.append(time.perf_counter() - t0)
+            if bool(aux["overflow"]):
+                n_ovf += 1
+                print(f"WARNING: eval view {i} overflowed isect capacity "
+                      f"{self.trainer.isect_capacity}; image is truncated",
+                      flush=True)
             gt = view.rgb_gt
             row = {
                 "psnr": float(aux["psnr"]),
@@ -121,6 +127,7 @@ class Renderer:
             "mean_render_s": float(np.mean(times[1:])) if len(times) > 1
             else float(times[0]),
             "n_frames": len(rows),
+            "overflow_views": n_ovf,
         }
         lp = [r.get("lpips", float("nan")) for r in rows]
         if not np.all(np.isnan(lp)):

@@ -216,22 +216,40 @@ class Trainer:
         T, cam, gt, mask = self._view_arrays(view)
         T_end = (jnp.asarray(view.pose_end)
                  if getattr(view, "pose_end", None) is not None else None)
-        _, _, aux = _step_impl(
-            self.params, self.opt_state, T, cam, gt, mask,
-            jax.random.PRNGKey(0), self.scene_extent, view.resolution,
-            self.active_sh_degree(), self.cfg_key, train=False,
-            shutter=int(getattr(view, "shutter", 0)), T_end=T_end,
-            isect_capacity=self.isect_capacity)
+        # Grow-and-retry on overflow (the reference's grow-only CudaBuffer
+        # re-renders after resize): a truncated eval image must never be
+        # scored. Train steps instead accept one truncated step and double
+        # for the NEXT step (train_step) — here the view is retried.
+        for _ in range(8):
+            _, _, aux = _step_impl(
+                self.params, self.opt_state, T, cam, gt, mask,
+                jax.random.PRNGKey(0), self.scene_extent, view.resolution,
+                self.active_sh_degree(), self.cfg_key, train=False,
+                shutter=int(getattr(view, "shutter", 0)), T_end=T_end,
+                isect_capacity=self.isect_capacity)
+            if not bool(aux["overflow"]):
+                break
+            self.isect_capacity *= 2
+            print(f"isect overflow during eval; capacity -> "
+                  f"{self.isect_capacity}", flush=True)
         return aux
 
     def validate(self) -> Dict[str, float]:
         ds = self.val_dataset or self.dataset
-        psnrs, ssims = [], []
+        psnrs, ssims, n_ovf = [], [], 0
         for i in range(len(ds)):
             aux = self.eval_view(ds[i])
             psnrs.append(float(aux["psnr"]))
             ssims.append(float(aux["terms"].get("ssim", jnp.nan)))
-        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+            n_ovf += int(bool(aux["overflow"]))
+        out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+        if n_ovf:
+            # A truncated eval render silently biases PSNR (the train loop
+            # grows capacity on overflow; eval must at least report it).
+            out["overflow_views"] = n_ovf
+            print(f"WARNING: {n_ovf}/{len(ds)} val renders overflowed "
+                  f"isect capacity {self.isect_capacity}", flush=True)
+        return out
 
     def run(self, iterations: Optional[int] = None, log_every: int = 100,
             out_dir: Optional[str] = None):
