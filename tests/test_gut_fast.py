@@ -125,8 +125,15 @@ def inversion_scene(n=40, seed=21):
             if False else jnp.asarray(feats))
 
 
+# 28 odd-even passes fully sort any 24-particle run (odd-even transposition
+# sorts L elements in <= L+1 passes regardless of displacement; pinned
+# out-of-range rows consume none) — and the unrolled pass network dominates
+# the interpret-mode COMPILE time of these tests (48 passes cost 687 s).
+_SORT_N, _SORT_PASSES = 24, 28
+
+
 def test_sorted_mode_matches_sorted_oracle():
-    pos, quat, scale, opa, feats = inversion_scene()
+    pos, quat, scale, opa, feats = inversion_scene(n=_SORT_N)
     ref_sorted = gut_reference.render(pos, quat, scale, opa, feats, CAM,
                                       IDENTITY_POSE, RES,
                                       per_ray_sorted=True)
@@ -136,7 +143,8 @@ def test_sorted_mode_matches_sorted_oracle():
     assert np.abs(np.asarray(ref_sorted.rgb)
                   - np.asarray(ref_unsorted.rgb)).max() > 1e-3
     fast, overflow = gut.render(pos, quat, scale, opa, feats, CAM,
-                                IDENTITY_POSE, RES, 4096, sorted_passes=48)
+                                IDENTITY_POSE, RES, 4096,
+                                sorted_passes=_SORT_PASSES)
     assert not bool(overflow)
     np.testing.assert_allclose(fast.rgb, ref_sorted.rgb, atol=3e-5)
     np.testing.assert_allclose(fast.opacity, ref_sorted.opacity, atol=2e-5)
@@ -144,7 +152,7 @@ def test_sorted_mode_matches_sorted_oracle():
 
 
 def test_sorted_mode_gradients():
-    pos, quat, scale, opa, feats = inversion_scene(n=24, seed=22)
+    pos, quat, scale, opa, feats = inversion_scene(n=_SORT_N, seed=22)
     target = jnp.ones(RES[::-1] + (3,)) * 0.4
 
     def loss_ref(pos, opa, feats):
@@ -154,7 +162,8 @@ def test_sorted_mode_gradients():
 
     def loss_fast(pos, opa, feats):
         out, _ = gut.render(pos, quat, scale, opa, feats, CAM,
-                            IDENTITY_POSE, RES, 4096, sorted_passes=48)
+                            IDENTITY_POSE, RES, 4096,
+                            sorted_passes=_SORT_PASSES)
         return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.opacity)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(pos, opa, feats)

@@ -274,6 +274,8 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
             + (-q["hit_t"] * q["inv_vsq"]) * d_hit
 
         u, v, cr = q["u"], q["v"], q["cr"]
+        # Exact cross form (the cheaper triple-product identity fails
+        # gradcheck — cancellation; see tile_raster._backward_kernel).
         crxv = [cr[1] * v[2] - cr[2] * v[1],
                 cr[2] * v[0] - cr[0] * v[2],
                 cr[0] * v[1] - cr[1] * v[0]]
