@@ -47,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 from threedgrut_tpu import constants as C
 
 import os as _os
-CHUNK = int(_os.environ.get("TILE_RASTER_CHUNK", "256"))  # rows per window
+# 128 measured ~9% faster than 256 at 1M Gaussians / 800x800 on v5e: less
+# boundary-row waste per tile range and one fewer prefix-ladder pass. 64 is
+# impossible (Mosaic requires 128-lane-aligned DMA slices).
+CHUNK = int(_os.environ.get("TILE_RASTER_CHUNK", "128"))  # rows per window
 PIX = C.TILE_SIZE    # 256 pixels per tile
 ROW_F = 16           # packed floats per particle
 
@@ -85,11 +88,16 @@ def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
     raise ValueError(f"unsupported kernel degree {degree}")
 
 
-def _pair_quantities(S, rays, degree):
+def _pair_quantities(S, rays, degree, need_hit_t=True, has_t_max=True):
     """Shared forward math for one window.
 
     S: [ROW_F, CHUNK] packed fields-x-particles; rays: [8, PIX] block.
     Returns dict of [CHUNK, PIX] (and [CHUNK, 1]) arrays.
+
+    `need_hit_t=False` skips the projection-distance chain (7 VPU passes) —
+    valid only when the caller consumes neither hit_t nor in_segment (the
+    backward kernel with aux_grads=False, unsorted, unbounded rays).
+    `has_t_max=False` skips the per-ray segment test (rays row 6 all <= 0).
     """
     def comp(i):
         return S[i, :][:, None]  # [CHUNK, 1]
@@ -128,11 +136,17 @@ def _pair_quantities(S, rays, degree):
     resp, dresp_dg = _response_and_grad_coeff(g, degree)
     opacity = comp(12)
     alpha_raw = resp * opacity
-    vdotu = v[0] * u[0] + v[1] * u[1] + v[2] * u[2]
-    hit_t = jnp.abs(vdotu) * inv_vsq
-    # Per-ray segment bound (row 6): t_max <= 0 means unbounded.
-    tmax = rays[6, :][None, :]
-    in_segment = (tmax <= 0.0) | (hit_t <= tmax)
+    if need_hit_t:
+        vdotu = v[0] * u[0] + v[1] * u[1] + v[2] * u[2]
+        hit_t = jnp.abs(vdotu) * inv_vsq
+    else:
+        vdotu = hit_t = None
+    if has_t_max:
+        # Per-ray segment bound (row 6): t_max <= 0 means unbounded.
+        tmax = rays[6, :][None, :]
+        in_segment = (tmax <= 0.0) | (hit_t <= tmax)
+    else:
+        in_segment = True
     return dict(u=u, v=v, cr=cr, crsq=crsq, vsq=vsq, inv_vsq=inv_vsq, g=g,
                 resp=resp, dresp_dg=dresp_dg, opacity=opacity,
                 alpha_raw=alpha_raw, vdotu=vdotu, hit_t=hit_t, w0=w0, d=d,
@@ -146,18 +160,28 @@ def _alpha_from_raw(q, row_mask, min_response, min_alpha, max_alpha):
     return jnp.where(accept, alpha, 0.0), accept
 
 
+def _shift_fill(y, s, fill):
+    """y shifted down s rows, top s rows = fill. For sublane-aligned s
+    (multiple of 8) a static concat does it in one copy; otherwise mask a
+    cyclic roll (2 passes)."""
+    if s % 8 == 0:
+        return jnp.concatenate(
+            [jnp.full((s,) + y.shape[1:], fill, y.dtype), y[: y.shape[0] - s]],
+            axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0], 1), 0)
+    return jnp.where(row >= s, pltpu.roll(y, s, axis=0), fill)
+
+
 def _prefix_inclusive(x):
     """[CHUNK, PIX] -> inclusive prefix sum along the chunk axis.
 
-    Hillis-Steele with sublane rolls: log2(CHUNK)=8 shifted adds on the VPU —
+    Hillis-Steele with sublane shifts: log2(CHUNK) shifted adds on the VPU —
     exact f32 (a bf16 MXU triangular matmul visibly corrupts transmittance,
     and HIGHEST-precision matmul costs 6 passes)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     y = x
     s = 1
     while s < CHUNK:
-        rolled = pltpu.roll(y, s, axis=0)
-        y = y + jnp.where(row >= s, rolled, 0.0)
+        y = y + _shift_fill(y, s, 0.0)
         s *= 2
     return y
 
@@ -166,17 +190,15 @@ def _prefix_prod(x):
     """[CHUNK, PIX] -> (exclusive, total) prefix PRODUCT along the chunk
     axis. Same Hillis-Steele ladder with multiplies — replaces the former
     log1p/cumsum/exp round trip for transmittance (two transcendental
-    [CHUNK, PIX] arrays per window) with 8 shifted multiplies; f32 products
-    of (1 - alpha) are the reference renderers' own accumulation form."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    [CHUNK, PIX] arrays per window) with log2(CHUNK) shifted multiplies; f32
+    products of (1 - alpha) are the reference renderers' own accumulation
+    form."""
     y = x
     s = 1
     while s < CHUNK:
-        rolled = pltpu.roll(y, s, axis=0)
-        y = y * jnp.where(row >= s, rolled, 1.0)
+        y = y * _shift_fill(y, s, 1.0)
         s *= 2
-    excl = jnp.where(row >= 1, pltpu.roll(y, 1, axis=0), 1.0)
-    return excl, y[CHUNK - 1:CHUNK, :]
+    return _shift_fill(y, 1, 1.0), y[CHUNK - 1:CHUNK, :]
 
 
 def _tri_matmuls(x, strict_lower: bool):
@@ -265,7 +287,7 @@ def _t_before_excl(alpha, one_m, q, sorted_passes, row_idx=None, start=None,
 
 def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
                     dbuf, sem, *, degree, min_transmittance, min_response,
-                    min_alpha, max_alpha, sorted_passes=0):
+                    min_alpha, max_alpha, sorted_passes=0, has_t_max=True):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -299,7 +321,7 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
 
-        q = _pair_quantities(S, rays, degree)
+        q = _pair_quantities(S, rays, degree, has_t_max=has_t_max)
         alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                    max_alpha)
         one_m = 1.0 - alpha
@@ -349,7 +371,8 @@ _N_WBUF = 4   # gradient write-buffer ring depth (overlaps write DMAs)
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                      gout_ref, zeros_hbm, gdata_hbm, dbuf, wbuf, sem,
                      wsem, wstate, *, degree, min_transmittance, min_response,
-                     min_alpha, max_alpha, sorted_passes=0):
+                     min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
+                     aux_grads=True):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
@@ -400,15 +423,20 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
     dO = gout_ref[0, 3, :][None, :]   # [1, PIX]
-    dD = gout_ref[0, 4, :][None, :]
-    dT = gout_ref[0, 5, :][None, :]
+    # aux_grads=False asserts the caller's loss consumes only rgb + opacity
+    # (the reference training loss: trainer.py 0.8*L1 + 0.2*DSSIM on rgb) —
+    # the depth/transmittance cotangent chains (~20 VPU passes per window)
+    # are skipped entirely.
+    dD = gout_ref[0, 4, :][None, :] if aux_grads else None
+    dT = gout_ref[0, 5, :][None, :] if aux_grads else None
     t_final = fwd_ref[0, 5, :][None, :]
     # Total of w_k * q_k over all hits, from the forward outputs:
     # sum w c . dC + sum w . dO + sum (w hitT) . dD
     a_tot = (fwd_ref[0, 0, :] * dC[0, :] + fwd_ref[0, 1, :] * dC[1, :]
              + fwd_ref[0, 2, :] * dC[2, :]
-             + fwd_ref[0, 3, :] * dO[0, :]
-             + fwd_ref[0, 4, :] * dD[0, :])[None, :]
+             + fwd_ref[0, 3, :] * dO[0, :])[None, :]
+    if aux_grads:
+        a_tot = a_tot + (fwd_ref[0, 4, :] * dD[0, :])[None, :]
 
     def body(state):
         w, t_carry_v, prefix_v = state
@@ -422,7 +450,9 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
 
-        q = _pair_quantities(S, rays, degree)
+        need_hit_t = aux_grads or has_t_max or bool(sorted_passes)
+        q = _pair_quantities(S, rays, degree, need_hit_t=need_hit_t,
+                             has_t_max=has_t_max)
         alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                         max_alpha)
         one_m = 1.0 - alpha
@@ -439,7 +469,7 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
             S[13:16, :], dC, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)  # [CHUNK, PIX]
-        qj = qj + q["hit_t"] * dD + dO
+        qj = qj + q["hit_t"] * dD + dO if aux_grads else qj + dO
 
         wq = w_ * qj
         if sorted_passes:
@@ -455,10 +485,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
             suffix = a_tot - prefix_v[None, :] - incl    # sum_{k>j} w_k q_k
 
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
-        d_alpha = jnp.where(
-            w_ > 0.0,
-            t_before * qj - suffix * inv_one_m - dT * t_final * inv_one_m,
-            0.0)
+        d_alpha_core = t_before * qj - suffix * inv_one_m
+        if aux_grads:
+            d_alpha_core = d_alpha_core - dT * t_final * inv_one_m
+        d_alpha = jnp.where(w_ > 0.0, d_alpha_core, 0.0)
 
         # alpha = min(max_alpha, resp * opacity); clamp kills the gradient.
         unclamped = (q["alpha_raw"] < max_alpha) & accept
@@ -466,13 +496,14 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         d_opacity_pair = jnp.where(unclamped, q["resp"] * d_alpha, 0.0)
         d_g = d_resp * q["dresp_dg"]
 
-        # hitT = |v.u| / vsq enters through depth: dL/dhitT = w * dD.
-        d_hit = jnp.where(w_ > 0.0, w_ * dD, 0.0)
-        sign_m = jnp.sign(q["vdotu"])
-        d_m = sign_m * q["inv_vsq"] * d_hit
         d_crsq = d_g * q["inv_vsq"]
-        d_vsq = (-q["g"] * q["inv_vsq"]) * d_g \
-            + (-q["hit_t"] * q["inv_vsq"]) * d_hit
+        d_vsq = (-q["g"] * q["inv_vsq"]) * d_g
+        if aux_grads:
+            # hitT = |v.u| / vsq enters through depth: dL/dhitT = w * dD.
+            d_hit = jnp.where(w_ > 0.0, w_ * dD, 0.0)
+            sign_m = jnp.sign(q["vdotu"])
+            d_m = sign_m * q["inv_vsq"] * d_hit
+            d_vsq = d_vsq + (-q["hit_t"] * q["inv_vsq"]) * d_hit
 
         u, v, cr = q["u"], q["v"], q["cr"]
         # d crsq/du = 2 (cr x v); d crsq/dv = 2 (u x cr). NOTE: the triple-
@@ -486,9 +517,14 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         uxcr = [u[1] * cr[2] - u[2] * cr[1],
                 u[2] * cr[0] - u[0] * cr[2],
                 u[0] * cr[1] - u[1] * cr[0]]
-        du = [2.0 * d_crsq * crxv[i] + d_m * v[i] for i in range(3)]
-        dv = [2.0 * d_crsq * uxcr[i] + d_m * u[i] + 2.0 * d_vsq * v[i]
-              for i in range(3)]
+        if aux_grads:
+            du = [2.0 * d_crsq * crxv[i] + d_m * v[i] for i in range(3)]
+            dv = [2.0 * d_crsq * uxcr[i] + d_m * u[i] + 2.0 * d_vsq * v[i]
+                  for i in range(3)]
+        else:
+            du = [2.0 * d_crsq * crxv[i] for i in range(3)]
+            dv = [2.0 * d_crsq * uxcr[i] + 2.0 * d_vsq * v[i]
+                  for i in range(3)]
 
         # Chain to packed row entries, summed over pixels -> [1, CHUNK] rows.
         # dA[r, k] = sum_pix du_r * (o_k - p_k) + dv_r * d_k. The pixel
@@ -589,7 +625,7 @@ def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def tile_composite(
     data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
@@ -601,26 +637,35 @@ def tile_composite(
     min_alpha: float = C.MIN_ALPHA,
     max_alpha: float = C.MAX_ALPHA,
     sorted_passes: int = 0,
+    has_t_max: bool = True,
+    aux_grads: bool = True,
 ) -> jnp.ndarray:
     """Returns [num_tiles, 8, 256] forward buffer (see module docstring).
 
     `sorted_passes` > 0 enables the per-ray windowed re-sort ("sorted"
     k-buffer mode); hits displaced up to that many positions from the
-    global depth order composite in exact per-ray order."""
+    global depth order composite in exact per-ray order.
+
+    `has_t_max=False` asserts every ray's row 6 is <= 0 (unbounded) and
+    skips the per-hit segment test. `aux_grads=False` asserts the loss
+    consumes only the rgb + opacity outputs (the reference training loss)
+    and skips the depth/transmittance cotangent chains in the backward —
+    gradients THROUGH depth/transmittance/hit-count are silently dropped
+    when the flag is set, so only set it from a caller that owns the loss."""
     return _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                     min_transmittance, min_response, min_alpha, max_alpha,
-                    sorted_passes)
+                    sorted_passes, has_t_max)
 
 
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
-             sorted_passes=0):
+             sorted_passes=0, has_t_max=True):
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
-        sorted_passes=sorted_passes)
+        sorted_passes=sorted_passes, has_t_max=has_t_max)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -648,15 +693,15 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
 
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
               min_transmittance, min_response, min_alpha, max_alpha,
-              sorted_passes=0):
+              sorted_passes=0, has_t_max=True, aux_grads=True):
     out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                    min_transmittance, min_response, min_alpha, max_alpha,
-                   sorted_passes)
+                   sorted_passes, has_t_max)
     return out, (data_sorted, tile_starts, tile_ends, rays, out)
 
 
 def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
-              sorted_passes, res, g_out):
+              sorted_passes, has_t_max, aux_grads, res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
@@ -664,7 +709,8 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         _backward_kernel, degree=degree,
         min_transmittance=min_transmittance, min_response=min_response,
         min_alpha=min_alpha, max_alpha=max_alpha,
-        sorted_passes=sorted_passes)
+        sorted_passes=sorted_passes, has_t_max=has_t_max,
+        aux_grads=aux_grads)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -164,6 +164,7 @@ def render(
     t_max: jnp.ndarray | None = None,
     ray_jitter: jnp.ndarray | None = None,
     sorted_passes: int = 0,
+    aux_gradients: bool = True,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -172,6 +173,9 @@ def render(
     optionally bounds each ray's integration segment (hybrid rendering).
     `sorted_passes` > 0 enables the per-ray re-sorted ("sorted" k-buffer)
     compositing mode (reference base_sorted.yaml, k_buffer_size=16).
+    `aux_gradients=False` drops gradients through the depth / transmittance /
+    hit-count outputs in exchange for a faster backward — safe when the loss
+    reads only rgb + opacity (the reference training loss).
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
@@ -193,7 +197,8 @@ def render(
 
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
-        kernel_degree, min_transmittance, sorted_passes=sorted_passes)
+        kernel_degree, min_transmittance, sorted_passes=sorted_passes,
+        has_t_max=t_max is not None, aux_grads=aux_gradients)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]

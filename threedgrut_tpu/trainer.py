@@ -78,7 +78,11 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 min_transmittance=cfg.render.min_transmittance,
                 tile_culling=cfg.render.tile_culling,
                 T_to_world=T_to_world, ray_jitter=jit_px,
-                sorted_passes=cfg.render.k_buffer_passes)
+                sorted_passes=cfg.render.k_buffer_passes,
+                # The loss below reads only rgb (+opacity via background
+                # compose) — skip depth/transmittance cotangent chains in
+                # the Pallas backward.
+                aux_gradients=False)
         # Random background only during training (reference background.py:
         # 62-102 gates the per-pixel random color on model.training).
         pred = background.compose(out.rgb, out.opacity,

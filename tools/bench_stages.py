@@ -122,7 +122,7 @@ def main(stages):
     @jax.jit
     def do_fwd(ds, b, r):
         return tile_raster.tile_composite(ds, b.tile_starts, b.tile_ends, r,
-                                          2, 1e-4)
+                                          2, 1e-4, has_t_max=False)
 
     out_f = do_fwd(data_sorted, binning, rays)
     if want("fwd"):
@@ -131,9 +131,12 @@ def main(stages):
     @jax.jit
     def do_fwd_bwd(ds, b, r):
         def f(ds_):
+            # rgb+opacity cotangents only, matching the trainer
+            # (aux_grads=False skips depth/transmittance chains).
             o = tile_raster.tile_composite(ds_, b.tile_starts, b.tile_ends,
-                                           r, 2, 1e-4)
-            return jnp.sum(o[:, 0:5, :])
+                                           r, 2, 1e-4, has_t_max=False,
+                                           aux_grads=False)
+            return jnp.sum(o[:, 0:4, :])
         return jax.grad(f)(ds)
 
     g_ds = do_fwd_bwd(data_sorted, binning, rays)
