@@ -94,6 +94,40 @@ def test_transmittance_gradient():
     np.testing.assert_allclose(g_fast, g_ref, atol=1e-6, rtol=1e-3)
 
 
+def test_aux_outputs_off_matches_rgb_opacity():
+    # The trainer's fast config: rgb/opacity/transmittance identical, the
+    # depth and hit-count outputs stay zero, gradients unchanged.
+    pos, quat, scale, opa, feats = random_scene(n=48, seed=17)
+
+    def run(aux):
+        kw = dict(aux_gradients=False, aux_outputs=aux)
+        out, _ = gut.render(pos, quat, scale, opa, feats, CAM,
+                            IDENTITY_POSE, RES, 4096, **kw)
+        return out
+
+    full, light = run(True), run(False)
+    # Not bitwise: removing the hit_t chain changes op fusion/reassociation
+    # (~1e-7); semantics are identical.
+    np.testing.assert_allclose(light.rgb, full.rgb, atol=1e-6)
+    np.testing.assert_allclose(light.opacity, full.opacity, atol=1e-6)
+    np.testing.assert_allclose(light.transmittance, full.transmittance,
+                               atol=1e-6)
+    assert np.all(np.asarray(light.depth) == 0.0)
+    assert np.all(np.asarray(light.hit_count) == 0.0)
+
+    def loss(aux):
+        def f(o):
+            out, _ = gut.render(pos, quat, scale, o, feats, CAM,
+                                IDENTITY_POSE, RES, 4096,
+                                aux_gradients=False, aux_outputs=aux)
+            return jnp.mean(out.rgb) + 0.1 * jnp.mean(out.opacity)
+        return jax.grad(f)(opa)
+
+    ga, gb = np.asarray(loss(False)), np.asarray(loss(True))
+    scale_g = np.abs(gb).max() + 1e-12
+    np.testing.assert_allclose(ga, gb, atol=1e-6 * scale_g)
+
+
 def test_overflow_flag():
     # 128 particles produce ~345 tile intersections at this resolution; a
     # 256-slot capacity (the minimum window multiple) must overflow.

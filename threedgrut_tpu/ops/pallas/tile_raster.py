@@ -287,7 +287,8 @@ def _t_before_excl(alpha, one_m, q, sorted_passes, row_idx=None, start=None,
 
 def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
                     dbuf, sem, *, degree, min_transmittance, min_response,
-                    min_alpha, max_alpha, sorted_passes=0, has_t_max=True):
+                    min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
+                    aux_outputs=True):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -321,7 +322,13 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
 
-        q = _pair_quantities(S, rays, degree, has_t_max=has_t_max)
+        # hit_t is consumed by the depth output, the per-ray segment test,
+        # and the re-sort keys; with none of those needed its 7-pass chain
+        # is skipped (aux_outputs=False: the training loss reads only
+        # rgb + opacity).
+        need_hit_t = aux_outputs or has_t_max or bool(sorted_passes)
+        q = _pair_quantities(S, rays, degree, need_hit_t=need_hit_t,
+                             has_t_max=has_t_max)
         alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                    max_alpha)
         one_m = 1.0 - alpha
@@ -340,8 +347,10 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         precision=jax.lax.Precision.HIGHEST)  # [3, PIX]
         out_ref[0, 0:3, :] += rgb
         out_ref[0, 3, :] += jnp.sum(w_, axis=0)
-        out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
-        out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32), axis=0)
+        if aux_outputs:
+            out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
+            out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32),
+                                        axis=0)
         # Transmittance is monotone non-increasing along COMPOSITING order
         # and frozen at ray termination (dead rows composite nothing), so
         # the end-of-window carry is min over LIVE rows of T-after-row,
@@ -625,7 +634,7 @@ def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def tile_composite(
     data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
@@ -639,6 +648,7 @@ def tile_composite(
     sorted_passes: int = 0,
     has_t_max: bool = True,
     aux_grads: bool = True,
+    aux_outputs: bool = True,
 ) -> jnp.ndarray:
     """Returns [num_tiles, 8, 256] forward buffer (see module docstring).
 
@@ -651,21 +661,28 @@ def tile_composite(
     consumes only the rgb + opacity outputs (the reference training loss)
     and skips the depth/transmittance cotangent chains in the backward —
     gradients THROUGH depth/transmittance/hit-count are silently dropped
-    when the flag is set, so only set it from a caller that owns the loss."""
+    when the flag is set, so only set it from a caller that owns the loss.
+    `aux_outputs=False` additionally leaves the depth (row 4) and hit-count
+    (row 6) outputs at zero, skipping their forward math; it requires
+    aux_grads=False (the backward reconstructs totals from row 4 when
+    depth cotangents flow)."""
+    assert aux_outputs or not aux_grads, (
+        "aux_outputs=False requires aux_grads=False")
     return _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                     min_transmittance, min_response, min_alpha, max_alpha,
-                    sorted_passes, has_t_max)
+                    sorted_passes, has_t_max, aux_outputs)
 
 
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
-             sorted_passes=0, has_t_max=True):
+             sorted_passes=0, has_t_max=True, aux_outputs=True):
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
-        sorted_passes=sorted_passes, has_t_max=has_t_max)
+        sorted_passes=sorted_passes, has_t_max=has_t_max,
+        aux_outputs=aux_outputs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -693,15 +710,16 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
 
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
               min_transmittance, min_response, min_alpha, max_alpha,
-              sorted_passes=0, has_t_max=True, aux_grads=True):
+              sorted_passes=0, has_t_max=True, aux_grads=True,
+              aux_outputs=True):
     out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                    min_transmittance, min_response, min_alpha, max_alpha,
-                   sorted_passes, has_t_max)
+                   sorted_passes, has_t_max, aux_outputs)
     return out, (data_sorted, tile_starts, tile_ends, rays, out)
 
 
 def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
-              sorted_passes, has_t_max, aux_grads, res, g_out):
+              sorted_passes, has_t_max, aux_grads, aux_outputs, res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)

@@ -143,10 +143,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
             rays_l = jax.lax.dynamic_slice(
                 rays, (start, 0, 0), (t_local, 8, tile_raster.PIX))
 
+            # Train-step loss reads only rgb + opacity: skip the depth/
+            # transmittance cotangent chains AND the depth/hit-count
+            # forward math (same flags as the single-chip trainer).
             out_l = tile_raster.tile_composite(
                 data_sorted, starts_l, ends_l, rays_l,
                 cfg.render.particle_kernel_degree,
-                cfg.render.min_transmittance)
+                cfg.render.min_transmittance,
+                aux_grads=False, aux_outputs=False)
             out_full = jax.lax.all_gather(out_l, "tile", axis=0, tiled=True)
 
             img = gut.tile_unpack(out_full, tile_grid)[:h, :w]

@@ -165,6 +165,7 @@ def render(
     ray_jitter: jnp.ndarray | None = None,
     sorted_passes: int = 0,
     aux_gradients: bool = True,
+    aux_outputs: bool = True,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -176,6 +177,8 @@ def render(
     `aux_gradients=False` drops gradients through the depth / transmittance /
     hit-count outputs in exchange for a faster backward — safe when the loss
     reads only rgb + opacity (the reference training loss).
+    `aux_outputs=False` (requires aux_gradients=False) additionally returns
+    zeros for depth/hit_count and skips their forward math in the kernel.
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
@@ -198,7 +201,8 @@ def render(
     out = tile_raster.tile_composite(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
         kernel_degree, min_transmittance, sorted_passes=sorted_passes,
-        has_t_max=t_max is not None, aux_grads=aux_gradients)
+        has_t_max=t_max is not None, aux_grads=aux_gradients,
+        aux_outputs=aux_outputs)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]

@@ -81,8 +81,10 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 sorted_passes=cfg.render.k_buffer_passes,
                 # The loss below reads only rgb (+opacity via background
                 # compose) — skip depth/transmittance cotangent chains in
-                # the Pallas backward.
-                aux_gradients=False)
+                # the Pallas backward; during training also skip the
+                # depth/hit-count forward math (eval steps keep them for
+                # the logged depth/hit panels).
+                aux_gradients=False, aux_outputs=not train)
         # Random background only during training (reference background.py:
         # 62-102 gates the per-pixel random color on model.training).
         pred = background.compose(out.rgb, out.opacity,
