@@ -53,6 +53,11 @@ import os as _os
 CHUNK = int(_os.environ.get("TILE_RASTER_CHUNK", "128"))  # rows per window
 PIX = C.TILE_SIZE    # 256 pixels per tile
 ROW_F = 16           # packed floats per particle
+# Data-window prefetch depth: PF windows in flight while one is computed
+# (ring of PF+1 VMEM buffers). 2+ hides the per-window DMA issue latency
+# behind compute when a window's math is shorter than a DMA round trip.
+PREFETCH = max(1, int(_os.environ.get("TILE_RASTER_PREFETCH", "2")))
+_N_DBUF = PREFETCH + 1
 
 
 def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
@@ -300,24 +305,26 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
 
     rays = rays_ref[0]
 
-    # Double-buffered window DMA: fetch w+1 while computing w (the sequential
-    # per-window DMA wait would otherwise dominate: ~2us x #windows).
+    # Ring-buffered window DMA: keep PREFETCH windows in flight while
+    # computing one (the sequential per-window DMA wait would otherwise
+    # dominate: ~2us x #windows).
     def dma(w, slot):
         return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
                                      sem.at[slot])
 
-    @pl.when(w0 < w1)
-    def _():
-        dma(w0, w0 % 2).start()
+    for k in range(PREFETCH):
+        @pl.when(w0 + k < w1)
+        def _(k=k):
+            dma(w0 + k, (w0 + k) % _N_DBUF).start()
 
     def body(state):
         w, _ = state
-        slot = w % 2
+        slot = w % _N_DBUF
         dma(w, slot).wait()
 
-        @pl.when(w + 1 < w1)
+        @pl.when(w + PREFETCH < w1)
         def _():
-            dma(w + 1, (w + 1) % 2).start()
+            dma(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
 
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
@@ -367,11 +374,14 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
 
     wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
 
-    # Early exit may leave one started-but-unconsumed DMA; drain it so the
-    # semaphore is clean for the next grid step (scratch persists).
-    @pl.when(wf < w1)
-    def _():
-        dma(wf, wf % 2).wait()
+    # Early exit may leave up to PREFETCH started-but-unconsumed DMAs (the
+    # invariant is: windows wf..min(w1, wf+PREFETCH)-1 are in flight); drain
+    # them so the semaphores are clean for the next grid step (scratch
+    # persists).
+    for k in range(PREFETCH):
+        @pl.when(wf + k < w1)
+        def _(k=k):
+            dma(wf + k, (wf + k) % _N_DBUF).wait()
 
 
 _N_WBUF = 4   # gradient write-buffer ring depth (overlaps write DMAs)
@@ -425,9 +435,10 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                                   wsem.at[s]).wait()
         wstate[2 + s] = -1
 
-    @pl.when(w0 < w1)
-    def _():
-        dma_data(w0, w0 % 2).start()
+    for k in range(PREFETCH):
+        @pl.when(w0 + k < w1)
+        def _(k=k):
+            dma_data(w0 + k, (w0 + k) % _N_DBUF).start()
 
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
@@ -449,12 +460,12 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
 
     def body(state):
         w, t_carry_v, prefix_v = state
-        slot = w % 2
+        slot = w % _N_DBUF
         dma_data(w, slot).wait()
 
-        @pl.when(w + 1 < w1)
+        @pl.when(w + PREFETCH < w1)
         def _():
-            dma_data(w + 1, (w + 1) % 2).start()
+            dma_data(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
 
         S = dbuf[slot]
         row_mask = _row_mask(w, start, end)
@@ -606,10 +617,11 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         (w0, jnp.ones((PIX,), jnp.float32),
          jnp.zeros((PIX,), jnp.float32)))
 
-    # Drain any in-flight prefetch left by an early exit.
-    @pl.when(wf < w1)
-    def _():
-        dma_data(wf, wf % 2).wait()
+    # Drain any in-flight prefetches left by an early exit.
+    for k in range(PREFETCH):
+        @pl.when(wf + k < w1)
+        def _(k=k):
+            dma_data(wf + k, (wf + k) % _N_DBUF).wait()
 
     # On the final grid step, complete all outstanding gradient writes.
     @pl.when(t == pl.num_programs(0) - 1)
@@ -694,8 +706,8 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_DBUF, ROW_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_DBUF,)),
         ],
     )
     return pl.pallas_call(
@@ -744,9 +756,9 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW_F, CHUNK), jnp.float32),        # data windows
+            pltpu.VMEM((_N_DBUF, ROW_F, CHUNK), jnp.float32),  # data windows
             pltpu.VMEM((_N_WBUF, ROW_F, CHUNK), jnp.float32),  # write ring
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_N_DBUF,)),
             pltpu.SemaphoreType.DMA((_N_WBUF,)),
             pltpu.SMEM((2 + _N_WBUF,), jnp.int32),
         ],

@@ -173,6 +173,12 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.isect_capacity = cfg.render.isect_capacity
         self.stats: Dict[str, Any] = {}
+        # Deferred overflow flag (see train_step): the host readback of the
+        # previous step's flag overlaps the current step's device compute —
+        # under the remote-TPU tunnel an immediate bool() would cost a full
+        # ~25 ms round trip EVERY step.
+        self._pending_overflow = None
+        self._mask_cache: Dict[tuple, jnp.ndarray] = {}
         # Per-stage wall-clock accumulators since the last TB flush
         # (reference trainer.py: per-stage frame timings panel; host wall
         # time here — the jitted step is one device program).
@@ -187,10 +193,18 @@ class Trainer:
                    self.cfg.model.max_sh_degree)
 
     def _view_arrays(self, view):
-        mask = view.mask if view.mask is not None else np.ones(
-            view.resolution[::-1] + (1,), np.float32)
+        if view.mask is not None:
+            mask = jnp.asarray(view.mask)
+        else:
+            # Cache the all-ones mask per resolution: rebuilding + uploading
+            # 2.5 MB through the tunnel every step is pure per-step tax.
+            key = tuple(view.resolution)
+            mask = self._mask_cache.get(key)
+            if mask is None:
+                mask = jnp.ones(view.resolution[::-1] + (1,), jnp.float32)
+                self._mask_cache[key] = mask
         return (jnp.asarray(view.T_to_world), view.camera,
-                jnp.asarray(view.rgb_gt), jnp.asarray(mask))
+                jnp.asarray(view.rgb_gt), mask)
 
     def train_step(self, view) -> Dict[str, Any]:
         T, cam, gt, mask = self._view_arrays(view)
@@ -206,11 +220,19 @@ class Trainer:
         # Capacity growth on overflow (replaces the reference's grow-only
         # CudaBuffer + D2H count readback, gutRenderer.cu:300-321): the step
         # that overflowed is slightly truncated; subsequent steps retrace
-        # with doubled capacity.
-        if bool(aux["overflow"]):
+        # with doubled capacity. The flag is read back one step LATE so the
+        # transfer overlaps the next step's device compute (at most one
+        # extra truncated step per growth event).
+        prev_ovf, self._pending_overflow = (self._pending_overflow,
+                                            aux["overflow"])
+        if prev_ovf is not None and bool(prev_ovf):
             self.isect_capacity *= 2
-            print(f"isect overflow at step {self.global_step}; capacity -> "
-                  f"{self.isect_capacity}", flush=True)
+            print(f"isect overflow at step {self.global_step - 1}; capacity "
+                  f"-> {self.isect_capacity}", flush=True)
+            # The step just dispatched also ran at the OLD capacity; its
+            # flag reports the same shortage we already responded to —
+            # dropping it avoids a spurious second doubling.
+            self._pending_overflow = None
         if self.strategy is not None:
             t_s = time.time()
             self.strategy.post_backward(self, view, aux)

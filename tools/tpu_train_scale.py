@@ -140,6 +140,8 @@ class ScaleDataset:
             np.savez_compressed(cache, gt=self._gt)
         self._idx = (list(range(N_VIEWS)) if split == "train"
                      else list(range(N_VIEWS, n_all)))
+        self._dev_gt = {}   # per-view device-resident float GT (HBM cache:
+        # re-uploading 7.7 MB through the tunnel every step is per-step tax)
 
     def initialization_points(self):
         rng = np.random.default_rng(7)
@@ -152,11 +154,15 @@ class ScaleDataset:
         return len(self._idx)
 
     def __getitem__(self, i):
+        import jax.numpy as jnp
         from threedgrut_tpu.datasets.protocols import View
         j = self._idx[i]
+        gt = self._dev_gt.get(j)
+        if gt is None:
+            gt = jnp.asarray(self._gt[j].astype(np.float32) / 255.0)
+            self._dev_gt[j] = gt
         return View(camera=self.camera, T_to_world=self._Ts[j],
-                    rgb_gt=self._gt[j].astype(np.float32) / 255.0,
-                    resolution=RES, mask=None)
+                    rgb_gt=gt, resolution=RES, mask=None)
 
 
 def build_trainer(resume_path=None):
@@ -168,7 +174,10 @@ def build_trainer(resume_path=None):
     ds = ScaleDataset("train")
     val = ScaleDataset("val")
     cfg = Config()
-    cfg.render.isect_capacity = 1 << 21
+    # Start small and let the trainer's adaptive doubling track the real
+    # intersection count — a static 2^21 made every sort/gather stage pay
+    # for slots the early 91k-particle model never fills.
+    cfg.render.isect_capacity = 1 << 20
     cfg.model.capacity = 1 << 20            # densify toward ~1M
     cfg.train.iterations = 30000
     cfg.train.checkpoint_iterations = (7000, MID_STEP, 30000)
