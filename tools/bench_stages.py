@@ -236,6 +236,35 @@ def main(stages):
             return c[i]
         timed("gather 1ch cap", do_gather1, pidx_u, slot_u)
 
+    if want("aux"):
+        # The residual outside render: loss fwd+bwd, Adam, ray generation.
+        from threedgrut_tpu.model import losses as L
+        from threedgrut_tpu import optimizers as O
+        from threedgrut_tpu.config import Config as _Cfg
+        gt = jnp.zeros((res[1], res[0], 3), jnp.float32)
+        pred0 = jnp.full((res[1], res[0], 3), 0.3, jnp.float32)
+
+        @jax.jit
+        def do_loss(pred):
+            def f(p):
+                return L.total_loss(p, gt, 0.8, 0.0, 0.2)[0]
+            return jax.grad(f)(pred)
+        timed("loss L1+DSSIM fwd+bwd", do_loss, pred0)
+
+        opt = O.init(params)
+        _cfg = _Cfg()
+
+        @jax.jit
+        def do_adam(g, o):
+            return O.step(g, g, o, _cfg.optimizer, jnp.float32(4.0),
+                          visibility=g.alive)
+        timed("adam step (grads=params)", do_adam, params, opt)
+
+        @jax.jit
+        def do_rays():
+            return gut.packed_world_rays(cam, pose, tile_grid, T)
+        timed("packed_world_rays", do_rays)
+
     if want("misc"):
         @jax.jit
         def do_scatter_set16(g, p):
