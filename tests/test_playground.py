@@ -345,11 +345,21 @@ def test_training_gui_live(tmp_path):
             "http://127.0.0.1:18322/render?yaw=0.4&pitch=0.3&radius=4",
             timeout=60).read()
         assert img[:2] == b"\xff\xd8"
-        tr.run(iterations=2, log_every=0)
+        tr.run(iterations=2, log_every=1)
         img2 = urllib.request.urlopen(
             "http://127.0.0.1:18322/render?yaw=0.4&pitch=0.3&radius=4",
             timeout=60).read()
         assert img2[:2] == b"\xff\xd8"
+        # Live training-status panel endpoint (step/loss/psnr history).
+        import json as _json
+        st = _json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18322/train_status", timeout=60).read())
+        assert st["step"] == 2 and len(st["history"]) == 2
+        assert {"step", "loss", "psnr", "particles",
+                "it_s"} <= set(st["history"][0])
+        state = _json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18322/state", timeout=60).read())
+        assert state["has_training"] is True
     finally:
         gui.close()
 

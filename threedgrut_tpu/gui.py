@@ -50,8 +50,14 @@ class TrainingGUI:
                  resolution: Tuple[int, int] = (400, 400),
                  target=(0.0, 0.0, 0.0)):
         from threedgrut_tpu.playground.web_viewer import WebViewer
+
+        def status():
+            return dict(step=trainer.global_step,
+                        history=list(trainer.history))
+
         self.viewer = WebViewer(_TrainerEngineProxy(trainer),
-                                resolution=resolution, target=target)
+                                resolution=resolution, target=target,
+                                status_fn=status)
         self.server = self.viewer.serve(port=port, blocking=False)
 
     def close(self):

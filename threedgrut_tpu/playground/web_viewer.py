@@ -133,6 +133,13 @@ function buildPanel(){
     h+=`<button onclick="post('/primitive',{name:'${n}',op:'duplicate'})">duplicate</button>`;
     h+=`<button onclick="post('/primitive',{name:'${n}',op:'remove'})">remove</button>`;
     h+=`</details>`;}
+  if(S.has_training){
+    h+='<h3>Training</h3><div class=sec id=trainsec>';
+    h+='<div id=trainline>waiting for log points...</div>';
+    h+='<canvas id=spark width=280 height=80 style="background:#222"></canvas>';
+    h+='<label><input type=checkbox id=livechk checked>live view (5s)</label>';
+    h+='</div>';
+  }
   h+='</div><h3>Trajectory Video</h3><div class=sec>';
   h+=`<button onclick="post('/traj',{op:'add',yaw:yaw,pitch:pitch,radius:radius})">Add Camera</button>`;
   h+=`<button onclick="post('/traj',{op:'clear'})">Reset</button>`;
@@ -153,7 +160,30 @@ window.onmousemove=e=>{if(!drag)return;
   pitch=Math.max(-1.5,Math.min(1.5,pitch));lx=e.clientX;ly=e.clientY;
   refresh();};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);refresh();};
-fetch('/state').then(r=>r.json()).then(s=>{S=s;buildPanel();refresh();});
+fetch('/state').then(r=>r.json()).then(s=>{S=s;buildPanel();refresh();
+  if(S.has_training)setInterval(pollTrain,2000);});
+function pollTrain(){
+  fetch('/train_status').then(r=>r.json()).then(t=>{
+    const h=t.history||[];if(!h.length)return;
+    const last=h[h.length-1];
+    const el=document.getElementById('trainline');
+    if(el)el.innerHTML=`step ${last.step} | loss ${last.loss.toFixed(4)}`+
+      ` | psnr ${last.psnr.toFixed(2)} dB<br>particles ${last.particles}`+
+      ` | ${last.it_s.toFixed(1)} it/s`;
+    const cv=document.getElementById('spark');
+    if(cv){const g=cv.getContext('2d');g.clearRect(0,0,280,80);
+      const ps=h.map(x=>x.psnr),lo=Math.min(...ps),hi=Math.max(...ps)+1e-6;
+      g.strokeStyle='#8f8';g.beginPath();
+      ps.forEach((p,i)=>{const x=i*280/Math.max(1,ps.length-1),
+        y=76-72*(p-lo)/(hi-lo);i?g.lineTo(x,y):g.moveTo(x,y);});
+      g.stroke();g.fillStyle='#8f8';g.font='10px monospace';
+      g.fillText(hi.toFixed(1),2,10);g.fillText(lo.toFixed(1),2,78);}
+    const chk=document.getElementById('livechk');
+    if(chk&&chk.checked&&(!window._lastLive
+        ||(Date.now()-window._lastLive)>5000)){
+      window._lastLive=Date.now();refresh();}
+  }).catch(()=>{});
+}
 </script></body></html>
 """
 
@@ -169,8 +199,12 @@ class WebViewer:
     def __init__(self, engine, resolution: Tuple[int, int] = (400, 400),
                  target=(0.0, 0.0, 0.0), fov_deg: float = 60.0,
                  scene=None, traj_path: str = "trajectory.json",
-                 video_path: str = "trajectory.mp4"):
+                 video_path: str = "trajectory.mp4", status_fn=None):
         self.engine = engine
+        # Optional live-training status provider (gui.TrainingGUI): a
+        # callable returning a dict with a `history` list; enables the
+        # Training panel + /train_status endpoint.
+        self.status_fn = status_fn
         self.scene = scene          # optional SceneGraph
         self.resolution = resolution
         self.target = np.asarray(target, np.float32)
@@ -253,7 +287,8 @@ class WebViewer:
             scene=(self.scene.describe() if self.scene is not None
                    else dict(primitives={}, materials=[])),
             trajectory=self.trajectory,
-            video_status=self.video_status)
+            video_status=self.video_status,
+            has_training=self.status_fn is not None)
 
     def apply_config(self, body: dict) -> None:
         import dataclasses
@@ -365,6 +400,11 @@ class WebViewer:
                     self.wfile.write(body)
                 elif u.path in ("/state", "/info"):
                     self._json(viewer.describe())
+                elif u.path == "/train_status":
+                    if viewer.status_fn is None:
+                        self._json({"error": "not training"}, 404)
+                    else:
+                        self._json(viewer.status_fn())
                 else:
                     self.send_response(404)
                     self.end_headers()

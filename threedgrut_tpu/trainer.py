@@ -179,6 +179,9 @@ class Trainer:
         # ~25 ms round trip EVERY step.
         self._pending_overflow = None
         self._mask_cache: Dict[tuple, jnp.ndarray] = {}
+        # Rolling log-point history for live GUIs (gui.TrainingGUI):
+        # dicts of step/loss/psnr/particles/it_s, capped at 500 entries.
+        self.history: list = []
         # Per-stage wall-clock accumulators since the last TB flush
         # (reference trainer.py: per-stage frame timings panel; host wall
         # time here — the jitted step is one device program).
@@ -298,6 +301,10 @@ class Trainer:
                 rate = self.global_step / (time.time() - t0)
                 print(f"step {self.global_step:6d} loss {loss:.4f} "
                       f"psnr {psnr:.2f} it/s {rate:.1f}", flush=True)
+                self.history.append(dict(
+                    step=self.global_step, loss=loss, psnr=psnr,
+                    particles=int(self.params.num_active()), it_s=rate))
+                del self.history[:-500]
                 if self.writer is not None:
                     self.writer.scalars(aux["terms"], self.global_step,
                                         prefix="train/loss_")
