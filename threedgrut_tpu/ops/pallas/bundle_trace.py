@@ -46,8 +46,11 @@ from threedgrut_tpu import constants as C
 from threedgrut_tpu.ops.pallas.tile_raster import (
     CHUNK,
     PIX,
+    PREFETCH,
+    _N_DBUF,
     _alpha_from_raw,
     _pair_quantities,
+    _prefix_prod,
     _should_interpret,
     _tri_matmuls,
 )
@@ -131,27 +134,33 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
         return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
                                      sem.at[slot])
 
-    dma(w0, w0 % 2).start()
+    for k in range(PREFETCH):
+        @pl.when(w0 + k < w1)
+        def _(k=k):
+            dma(w0 + k, (w0 + k) % _N_DBUF).start()
 
     true_mask = jnp.ones((CHUNK, 1), jnp.bool_)
 
     def body(state):
         w, _ = state
-        slot = w % 2
+        slot = w % _N_DBUF
         dma(w, slot).wait()
 
-        @pl.when(w + 1 < w1)
+        @pl.when(w + PREFETCH < w1)
         def _():
-            dma(w + 1, (w + 1) % 2).start()
+            dma(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
 
         S = dbuf[slot]
         q = _pair_quantities(S, rays, degree)
         alpha, _ = _alpha_from_raw(q, true_mask & _grt_gates(q),
                                    min_response, min_alpha, max_alpha)
-        log1m = jnp.log1p(-alpha)
-        excl = _tri_matmuls(log1m, strict_lower=True)
+        # Prefix PRODUCT of (1 - alpha) (tile_raster._prefix_prod): replaces
+        # the former log1p/cumsum/exp round trip — two transcendental
+        # [CHUNK, PIX] passes per window — with shifted multiplies.
+        one_m = 1.0 - alpha
+        excl, _ = _prefix_prod(one_m)
         t_carry = out_ref[0, 5, :][None, :]
-        t_before = t_carry * jnp.exp(excl)
+        t_before = t_carry * excl
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
 
@@ -162,9 +171,12 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
         out_ref[0, 3, :] += jnp.sum(w_, axis=0)
         out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
         out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32), axis=0)
-        processed_log = jnp.where(live, log1m, 0.0)
-        out_ref[0, 5, :] = (t_carry * jnp.exp(
-            jnp.sum(processed_log, axis=0, keepdims=True)))[0]
+        # Carry = min over LIVE rows of T-after-row, floored at the incoming
+        # carry (transmittance is monotone along compositing order and
+        # frozen at termination — same order-independent form as the tile
+        # kernel).
+        t_after = jnp.where(live, t_before * one_m, jnp.float32(3.4e38))
+        out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0), t_carry[0])
         alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
         return w + 1, alive
 
@@ -174,9 +186,10 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
 
     wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
 
-    @pl.when(wf < w1)
-    def _():
-        dma(wf, wf % 2).wait()
+    for k in range(PREFETCH):
+        @pl.when(wf + k < w1)
+        def _(k=k):
+            dma(wf + k, (wf + k) % _N_DBUF).wait()
 
 
 def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
@@ -209,7 +222,10 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
                                   wsem.at[s]).wait()
         wstate[1 + s] = -1
 
-    dma_data(w0, w0 % 2).start()
+    for k in range(PREFETCH):
+        @pl.when(w0 + k < w1)
+        def _(k=k):
+            dma_data(w0 + k, (w0 + k) % _N_DBUF).start()
 
     rays = rays_ref[0]
     t0 = rays[7, :][None, :]
@@ -228,20 +244,20 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
 
     def body(state):
         w, t_carry_v, prefix_v = state
-        slot = w % 2
+        slot = w % _N_DBUF
         dma_data(w, slot).wait()
 
-        @pl.when(w + 1 < w1)
+        @pl.when(w + PREFETCH < w1)
         def _():
-            dma_data(w + 1, (w + 1) % 2).start()
+            dma_data(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
 
         S = dbuf[slot]
         q = _pair_quantities(S, rays, degree)
         alpha, accept = _alpha_from_raw(q, true_mask & _grt_gates(q),
                                         min_response, min_alpha, max_alpha)
-        log1m = jnp.log1p(-alpha)
-        excl = _tri_matmuls(log1m, strict_lower=True)
-        t_before = t_carry_v[None, :] * jnp.exp(excl)
+        one_m = 1.0 - alpha
+        excl, _ = _prefix_prod(one_m)
+        t_before = t_carry_v[None, :] * excl
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
 
@@ -254,7 +270,6 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
         incl = _tri_matmuls(wq, strict_lower=False)
         suffix = a_tot - prefix_v[None, :] - incl
 
-        one_m = 1.0 - alpha
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
         d_alpha = jnp.where(
             w_ > 0.0,
@@ -324,8 +339,9 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
         wstate[1 + s] = w
         wstate[0] = k + 1
 
-        processed_log = jnp.where(live, log1m, 0.0)
-        t_carry_new = t_carry_v * jnp.exp(jnp.sum(processed_log, axis=0))
+        t_carry_new = jnp.minimum(jnp.min(
+            jnp.where(live, t_before * one_m, jnp.float32(3.4e38)), axis=0),
+            t_carry_v)
         prefix_new = prefix_v + jnp.sum(wq, axis=0)
         return w + 1, t_carry_new, prefix_new
 
@@ -336,9 +352,10 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
     wf, _, _ = jax.lax.while_loop(cond, body, (w0, t0[0], jnp.zeros(
         (PIX,), jnp.float32)))
 
-    @pl.when(wf < w1)
-    def _():
-        dma_data(wf, wf % 2).wait()
+    for k in range(PREFETCH):
+        @pl.when(wf + k < w1)
+        def _(k=k):
+            dma_data(wf + k, (wf + k) % _N_DBUF).wait()
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
@@ -396,8 +413,8 @@ def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 8, PIX), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW64, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_DBUF, ROW64, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_DBUF,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -439,9 +456,9 @@ def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, ROW64, CHUNK), jnp.float32),
+            pltpu.VMEM((_N_DBUF, ROW64, CHUNK), jnp.float32),
             pltpu.VMEM((_N_WBUF, ROW64, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_N_DBUF,)),
             pltpu.SemaphoreType.DMA((_N_WBUF,)),
             pltpu.SMEM((1 + _N_WBUF,), jnp.int32),
         ],
