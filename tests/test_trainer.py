@@ -156,3 +156,41 @@ def test_hit_based_visibility_occluded_invisible(dataset):
     vis = np.asarray(aux["visibility"])
     assert vis[0]          # the occluder rendered
     assert not vis[1]      # in-frustum but fully occluded -> invisible
+
+
+def test_render_eval_from_checkpoint(tmp_path, dataset):
+    """The proof/eval pipeline: train briefly, checkpoint, then
+    Renderer.from_checkpoint + render_all with PNG dumps (including the
+    best/worst pairs) — also with DEVICE-resident GT arrays, which the
+    scale-proof dataset serves."""
+    import jax.numpy as jnp
+    from threedgrut_tpu.datasets.protocols import View
+    from threedgrut_tpu.render_eval import Renderer
+
+    tr = make_trainer(dataset)
+    tr.run(iterations=3, log_every=0)
+    tr.save_checkpoint(str(tmp_path), name="ckpt_eval")
+
+    class DeviceGT:
+        scene_extent = dataset.scene_extent
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            v = dataset[i]
+            return View(camera=v.camera, T_to_world=v.T_to_world,
+                        rgb_gt=jnp.asarray(v.rgb_gt),
+                        resolution=v.resolution, mask=None)
+
+    r = Renderer.from_checkpoint(str(tmp_path / "ckpt_eval.npz"), DeviceGT())
+    out_dir = str(tmp_path / "renders")
+    summary = r.render_all(out_dir=out_dir, save_gt=True,
+                           compute_lpips=False)
+    assert summary["n_frames"] == 2
+    assert np.isfinite(summary["psnr"]) and np.isfinite(summary["ssim"])
+    import os
+    files = os.listdir(out_dir)
+    assert "pred_0000.png" in files and "gt_0000.png" in files
+    assert any(f.startswith("best_psnr_pred") for f in files)
+    assert any(f.startswith("worst_psnr_gt") for f in files)

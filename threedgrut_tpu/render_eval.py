@@ -19,8 +19,10 @@ from threedgrut_tpu import constants as C
 from threedgrut_tpu.trainer import Trainer
 
 
-def _to_uint8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+def _to_uint8(img) -> np.ndarray:
+    # np.asarray first: datasets may hand out device-resident (jax) GT
+    # arrays, which PIL's Image.fromarray cannot consume.
+    return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
 
 
 class _LPIPS:

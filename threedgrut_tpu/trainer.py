@@ -420,6 +420,9 @@ class Trainer:
             trainer.writer = None
             trainer.stats = {}
             trainer._stage_s = {"data": 0.0, "step": 0.0, "strategy": 0.0}
+            trainer._pending_overflow = None
+            trainer._mask_cache = {}
+            trainer.history = []
         trainer.opt_state = optimizers.AdamState(
             step=jnp.asarray(data["opt_step"]),
             exp_avg={f: jnp.asarray(data[f"m/{f}"])
