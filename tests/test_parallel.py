@@ -27,6 +27,10 @@ def setup():
     cfg = Config()
     cfg.render.isect_capacity = 1 << 12
     cfg.model.background_color = "black"
+    # The parity tests below compare the sharded gradient against exact
+    # single-device autodiff at 2e-4 — keep both sides on the exact f32
+    # unsort (the bf16 default is covered by test_sorted_gather).
+    cfg.render.low_precision_grads = False
     return ds, params, cfg
 
 

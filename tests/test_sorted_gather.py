@@ -59,6 +59,31 @@ def test_matches_scatter_overflow():
         check(seed, overflow=True)
 
 
+def test_bf16_unsort_close_to_f32():
+    """grad_precision="bf16" (packed-pair payload sort) must agree with the
+    exact path to bf16 rounding tolerance and keep f32 segment accumulation
+    (error does not grow with segment length)."""
+    for seed in range(3):
+        packed, sorted_idx, perm, ends, counts, cap, total = make_case(
+            seed=seed)
+        g = jnp.asarray(np.random.default_rng(seed + 200)
+                        .normal(size=(cap, 16)).astype(np.float32))
+        valid = perm < min(total, cap)
+        g = jnp.where(valid[:, None], g, 0.0)
+        _, vjp32 = jax.vjp(
+            lambda p: sorted_gather(p, sorted_idx, perm, ends, counts,
+                                    "f32"), packed)
+        _, vjp16 = jax.vjp(
+            lambda p: sorted_gather(p, sorted_idx, perm, ends, counts,
+                                    "bf16"), packed)
+        g32 = np.asarray(vjp32(g)[0])
+        g16 = np.asarray(vjp16(g)[0])
+        # bf16 has an 8-bit mantissa: per-slot rel error <= 2^-9, and the
+        # per-particle sum of <=5 slots keeps the same relative scale.
+        scale = np.abs(g32).max()
+        np.testing.assert_allclose(g16, g32, atol=2e-2 * scale)
+
+
 def test_forward_is_gather():
     packed, sorted_idx, perm, ends, counts, cap, total = make_case(seed=7)
     out = sorted_gather(packed, sorted_idx, perm, ends, counts)

@@ -40,6 +40,11 @@ class RenderConfig:
     # (the benchmarked unsorted default).
     k_buffer_passes: int = 0
     ray_jitter: bool = False      # sub-pixel AA jitter during training
+    # Train-step backward only: round the per-slot cotangent reorder to bf16
+    # (packed pairs — half the unsort sort bandwidth). Per-particle gradient
+    # sums still accumulate in f32; relative error ~2^-9 on slot gradients.
+    # Eval/parity paths always use exact f32 (the flag is gated on train).
+    low_precision_grads: bool = True
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
     isect_capacity: int = 1 << 21

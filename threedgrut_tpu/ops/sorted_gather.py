@@ -41,17 +41,51 @@ def _blocked_cumsum(x, block: int = 256):
     return (intra + carry[:, None]).reshape(m, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def sorted_gather(packed, sorted_idx, perm, particle_ends, particle_counts):
+def _pack_bf16_pairs(g):
+    """[cap, F] f32 -> [cap, F//2] uint32: adjacent channels rounded to bf16
+    and bit-packed two-per-word. Halves the payload operand count (and HBM
+    traffic) of the unsort sort below."""
+    u16 = jax.lax.bitcast_convert_type(g.astype(jnp.bfloat16), jnp.uint16)
+    hi = u16[:, 0::2].astype(jnp.uint32) << 16
+    lo = u16[:, 1::2].astype(jnp.uint32)
+    return hi | lo
+
+
+def _unpack_bf16_pairs(cols):
+    """Inverse of _pack_bf16_pairs on a list of [cap] uint32 columns; returns
+    the 2x-as-many [cap] f32 channel columns."""
+    out = []
+    for w in cols:
+        h = jax.lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16)
+        l = jax.lax.bitcast_convert_type(
+            w.astype(jnp.uint16), jnp.bfloat16)
+        out.append(h.astype(jnp.float32))
+        out.append(l.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sorted_gather(packed, sorted_idx, perm, particle_ends, particle_counts,
+                  grad_precision: str = "f32"):
+    """packed[sorted_idx] with a scatter-free backward.
+
+    grad_precision: "f32" keeps the backward's slot-gradient reorder exact;
+    "bf16" rounds per-slot cotangents to bf16 and packs channel pairs into
+    single sort payload words (half the unsort bandwidth, ~2x faster on the
+    dominant stage; per-particle sums still accumulate in f32 — relative
+    gradient error ~2^-9, validated for training in tests/test_trainer.py).
+    """
     return packed[sorted_idx]
 
 
-def _fwd(packed, sorted_idx, perm, particle_ends, particle_counts):
+def _fwd(packed, sorted_idx, perm, particle_ends, particle_counts,
+         grad_precision="f32"):
     out = packed[sorted_idx]
     return out, (packed.shape[0], perm, particle_ends, particle_counts)
 
 
-def _bwd(res, g_sorted):
+def _bwd(grad_precision, res, g_sorted):
     n, perm, ends, counts = res
     del counts
     cap = g_sorted.shape[0]
@@ -60,8 +94,16 @@ def _bwd(res, g_sorted):
     # at ~1.3 ms/channel on v5e (~36 ms total at 3.4M rows) where the
     # argsort + 16-channel gather it replaces cost ~63 ms — TPU gathers are
     # row-dispatch-bound, sorts are bandwidth-bound.
-    ops = (perm,) + tuple(g_sorted[:, i] for i in range(g_sorted.shape[1]))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    nch = g_sorted.shape[1]
+    if grad_precision == "bf16" and nch % 2 == 0:
+        pk = _pack_bf16_pairs(g_sorted)
+        ops = (perm,) + tuple(pk[:, i] for i in range(nch // 2))
+        sorted_pk = jax.lax.sort(ops, num_keys=1)
+        sorted_ops = (sorted_pk[0],) + tuple(
+            _unpack_bf16_pairs(sorted_pk[1:]))
+    else:
+        ops = (perm,) + tuple(g_sorted[:, i] for i in range(nch))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
     # Contiguous segments ([ends[p-1], ends[p]) covers [0, total)) reduce in
     # one Pallas pass (ops/pallas/segment_sum.py) — replaces the former
     # stack + [cap, 16] cumsum + 1M-row boundary gather (~42 -> ~11 ms at

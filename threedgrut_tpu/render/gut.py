@@ -70,7 +70,7 @@ def pack_particles(positions, quats, scales, opacities, colors) -> jnp.ndarray:
 def prepare(
     positions, quats, scales, opacities, features, cam, pose,
     resolution, isect_capacity, shutter=ShutterType.GLOBAL, sh_degree=3,
-    tile_culling=True,
+    tile_culling=True, low_precision_grads=False,
 ):
     """Projection + binning + packing: everything before compositing.
 
@@ -90,9 +90,10 @@ def prepare(
     assert isect_capacity % tile_raster.CHUNK == 0, (
         f"isect_capacity must be a multiple of {tile_raster.CHUNK}")
     from threedgrut_tpu.ops.sorted_gather import sorted_gather
-    data_sorted = sorted_gather(packed, binning.sorted_particle_idx,
-                                binning.perm, binning.particle_ends,
-                                binning.particle_counts)       # [cap, 16]
+    data_sorted = sorted_gather(
+        packed, binning.sorted_particle_idx, binning.perm,
+        binning.particle_ends, binning.particle_counts,
+        "bf16" if low_precision_grads else "f32")              # [cap, 16]
     return proj, binning, data_sorted, tile_grid
 
 
@@ -166,6 +167,7 @@ def render(
     sorted_passes: int = 0,
     aux_gradients: bool = True,
     aux_outputs: bool = True,
+    low_precision_grads: bool = False,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -179,11 +181,14 @@ def render(
     reads only rgb + opacity (the reference training loss).
     `aux_outputs=False` (requires aux_gradients=False) additionally returns
     zeros for depth/hit_count and skips their forward math in the kernel.
+    `low_precision_grads=True` rounds the per-slot backward cotangent reorder
+    to bf16 (per-particle sums stay f32) — ~2x faster on the dominant unsort
+    stage; keep False when exact gradients matter (parity checks).
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
         positions, quats, scales, opacities, features, cam, pose, resolution,
-        isect_capacity, shutter, sh_degree, tile_culling)
+        isect_capacity, shutter, sh_degree, tile_culling, low_precision_grads)
     if t_max is not None and t_max.shape != (tile_grid[1] * 16,
                                              tile_grid[0] * 16):
         pad_h = tile_grid[1] * 16 - t_max.shape[0]
