@@ -13,8 +13,9 @@ def make_case(n=20, cap=64, seed=0, overflow=False):
     total = int(ends[-1])
     if overflow:
         cap = max(8, total - 6)
-    # Expansion-order particle per slot.
-    pidx = np.zeros(cap, np.int32)
+    # Expansion-order particle per slot; tail slots (beyond the true total)
+    # carry the sentinel id n, as the binning emits (ops/tiles.py).
+    pidx = np.full(cap, n, np.int32)
     for p in range(n):
         s, e = ends[p] - counts[p], min(ends[p], cap)
         pidx[s:min(e, cap)] = p
@@ -42,7 +43,7 @@ def check(seed, overflow):
     g = jnp.where(valid[:, None], g, 0.0)
 
     _, vjp = jax.vjp(
-        lambda p: sorted_gather(p, sorted_idx, perm, ends, counts), packed)
+        lambda p: sorted_gather(p, sorted_idx, ends, counts), packed)
     g_custom = vjp(g)[0]
     g_ref = naive_vjp(packed, sorted_idx, g, cap, total, valid)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
@@ -71,10 +72,10 @@ def test_bf16_unsort_close_to_f32():
         valid = perm < min(total, cap)
         g = jnp.where(valid[:, None], g, 0.0)
         _, vjp32 = jax.vjp(
-            lambda p: sorted_gather(p, sorted_idx, perm, ends, counts,
+            lambda p: sorted_gather(p, sorted_idx, ends, counts,
                                     "f32"), packed)
         _, vjp16 = jax.vjp(
-            lambda p: sorted_gather(p, sorted_idx, perm, ends, counts,
+            lambda p: sorted_gather(p, sorted_idx, ends, counts,
                                     "bf16"), packed)
         g32 = np.asarray(vjp32(g)[0])
         g16 = np.asarray(vjp16(g)[0])
@@ -86,6 +87,8 @@ def test_bf16_unsort_close_to_f32():
 
 def test_forward_is_gather():
     packed, sorted_idx, perm, ends, counts, cap, total = make_case(seed=7)
-    out = sorted_gather(packed, sorted_idx, perm, ends, counts)
-    np.testing.assert_array_equal(np.asarray(out),
-                                  np.asarray(packed)[np.asarray(sorted_idx)])
+    out = sorted_gather(packed, sorted_idx, ends, counts)
+    # Sentinel tail ids (= n) clamp to the last row under XLA gather
+    # semantics; those slots sit past every tile range and are never read.
+    idx = np.clip(np.asarray(sorted_idx), 0, packed.shape[0] - 1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(packed)[idx])

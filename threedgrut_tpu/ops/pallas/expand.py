@@ -48,7 +48,8 @@ CH_CA, CH_CB, CH_CC, CH_CX, CH_CY, CH_MAXPOW = 5, 6, 7, 8, 9, 10
 CH_START, CH_PIDX, CH_ONE = 11, 12, 13
 
 
-def _kernel(pa_ref, a0_ref, a1_ref, out_ref, *, gx, num_tiles, tile_culling):
+def _kernel(pa_ref, a0_ref, a1_ref, out_ref, *, gx, num_tiles, tile_culling,
+            pid_sentinel):
     w = pl.program_id(0)
     attrs = jnp.concatenate([a0_ref[...], a1_ref[...]], axis=1)  # [RCH, 512]
 
@@ -117,7 +118,12 @@ def _kernel(pa_ref, a0_ref, a1_ref, out_ref, *, gx, num_tiles, tile_culling):
     out_ref[...] = jnp.concatenate([
         jnp.where(valid, tile, jnp.float32(num_tiles)),
         jnp.where(valid, ex[CH_DEPTH, :][None, :], big),
-        jnp.where(owned, ex[CH_PIDX, :][None, :], 0.0),
+        # Unowned (tail) slots get pid = N: the gather backward keys its
+        # unsort on the particle id, and N sorts past every real segment
+        # (sorted_gather.py — tail cotangents are zero but must not land
+        # inside a particle's [ends[p-1], ends[p]) range).
+        jnp.where(owned, ex[CH_PIDX, :][None, :],
+                  jnp.float32(pid_sentinel)),
         jnp.zeros((5, SBLK), jnp.float32),
     ], axis=0)
 
@@ -128,8 +134,10 @@ def expand_keys(
     isect_capacity: int,
     tile_grid,
     tile_culling: bool,
+    pid_sentinel: int,         # pid for unowned tail slots (= N particles)
 ):
-    """Returns (tile_key i32 [cap], depth_key f32 [cap], pidx i32 [cap])."""
+    """Returns (tile_key i32 [cap], depth_key f32 [cap], pidx i32 [cap]);
+    tail slots (beyond the true intersection total) carry pid_sentinel."""
     gx, gy = tile_grid
     num_tiles = gx * gy
     rch, m_pad = attrs_rank.shape
@@ -145,8 +153,10 @@ def expand_keys(
     pa = jnp.searchsorted(ends_rank, win_slots, side="right")
     pa_block = jnp.minimum(pa // SBLK, m_pad // SBLK - 2).astype(jnp.int32)
 
+    assert pid_sentinel < (1 << 24)
     kern = functools.partial(_kernel, gx=gx, num_tiles=num_tiles,
-                             tile_culling=tile_culling)
+                             tile_culling=tile_culling,
+                             pid_sentinel=pid_sentinel)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_win,),

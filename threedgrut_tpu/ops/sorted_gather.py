@@ -7,16 +7,17 @@ indices, which XLA serializes on TPU (~457 ms at 4M x 16 measured vs ~0.2 ms
 of useful bandwidth). This op replaces that transpose with a deterministic
 segment-difference reduction that exploits the binning structure:
 
-  * `perm[j]` maps each sorted position to its EXPANSION slot, and in
-    expansion order every particle's slots are CONTIGUOUS
-    ([ends-counts, ends), ops/tiles.py).
-  * backward: reorder cotangents to expansion order (argsort+gather),
-    cumulative-sum along slots (one bandwidth-bound pass), and read each
-    particle's segment sum as a difference of two boundary rows.
-
-Cost on a v5e chip at 4M slots: ~35 (argsort) + ~135 (gather) + ~40 (cumsum)
-+ ~100 (boundary gathers) ms ≈ 310 ms -> vs 457 ms scatter — and the cumsum
-formulation is the stepping stone to a fused Pallas pass.
+  * backward: STABLY sort the cotangent rows by `sorted_idx` (the particle
+    id each slot gathered from — already carried by the binning sort, so no
+    extra permutation operand is needed there). Every expansion slot appears
+    exactly once in sorted order, so particle p contributes exactly
+    min(ends[p], cap) - min(ends[p] - counts[p], cap) rows and the grouped
+    rows form the SAME contiguous segments [ends[p-1], ends[p]) (clamped to
+    cap) as expansion order — including under overflow truncation. Tail
+    slots (cap > true total) carry id N from the binning and sort past every
+    real segment (ops/tiles.py).
+  * reduce each contiguous segment in one Pallas pass (segment_sum.py), or
+    cumsum + boundary-row differences on the XLA fallback path.
 """
 from __future__ import annotations
 
@@ -65,10 +66,17 @@ def _unpack_bf16_pairs(cols):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def sorted_gather(packed, sorted_idx, perm, particle_ends, particle_counts,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sorted_gather(packed, sorted_idx, particle_ends, particle_counts,
                   grad_precision: str = "f32"):
     """packed[sorted_idx] with a scatter-free backward.
+
+    sorted_idx must carry particle id N (= packed.shape[0]) on tail slots
+    beyond the true intersection total (ops/tiles.py does) — the backward
+    groups cotangents by a stable sort on these ids, and tail rows must sort
+    past every real segment. The forward gather clamps N to the last row
+    (XLA semantics); those rows feed windows past every tile range and are
+    never composited.
 
     grad_precision: "f32" keeps the backward's slot-gradient reorder exact;
     "bf16" rounds per-slot cotangents to bf16 and packs channel pairs into
@@ -79,30 +87,30 @@ def sorted_gather(packed, sorted_idx, perm, particle_ends, particle_counts,
     return packed[sorted_idx]
 
 
-def _fwd(packed, sorted_idx, perm, particle_ends, particle_counts,
+def _fwd(packed, sorted_idx, particle_ends, particle_counts,
          grad_precision="f32"):
     out = packed[sorted_idx]
-    return out, (packed.shape[0], perm, particle_ends, particle_counts)
+    return out, (packed.shape[0], sorted_idx, particle_ends, particle_counts)
 
 
 def _bwd(grad_precision, res, g_sorted):
-    n, perm, ends, counts = res
+    n, sorted_idx, ends, counts = res
     del counts
     cap = g_sorted.shape[0]
-    # Reorder cotangents to expansion order by SORTING on perm (sorting by a
-    # permutation applies its inverse). A 17-operand lax.sort moves payload
-    # at ~1.3 ms/channel on v5e (~36 ms total at 3.4M rows) where the
-    # argsort + 16-channel gather it replaces cost ~63 ms — TPU gathers are
-    # row-dispatch-bound, sorts are bandwidth-bound.
+    # Group cotangents by particle with a STABLE sort on the particle id
+    # (segments land at [ends[p-1], ends[p]), module docstring). A 17-operand
+    # lax.sort moves payload at ~1.3 ms/channel on v5e (~36 ms total at 3.4M
+    # rows) where the argsort + 16-channel gather it replaces cost ~63 ms —
+    # TPU gathers are row-dispatch-bound, sorts are bandwidth-bound.
     nch = g_sorted.shape[1]
     if grad_precision == "bf16" and nch % 2 == 0:
         pk = _pack_bf16_pairs(g_sorted)
-        ops = (perm,) + tuple(pk[:, i] for i in range(nch // 2))
+        ops = (sorted_idx,) + tuple(pk[:, i] for i in range(nch // 2))
         sorted_pk = jax.lax.sort(ops, num_keys=1)
         sorted_ops = (sorted_pk[0],) + tuple(
             _unpack_bf16_pairs(sorted_pk[1:]))
     else:
-        ops = (perm,) + tuple(g_sorted[:, i] for i in range(nch))
+        ops = (sorted_idx,) + tuple(g_sorted[:, i] for i in range(nch))
         sorted_ops = jax.lax.sort(ops, num_keys=1)
     # Contiguous segments ([ends[p-1], ends[p]) covers [0, total)) reduce in
     # one Pallas pass (ops/pallas/segment_sum.py) — replaces the former
@@ -121,13 +129,13 @@ def _bwd(grad_precision, res, g_sorted):
         # [F, N] channel-major out; the .T is a free bitcast (layout note in
         # segment_sum_rows' docstring).
         return (segment_sum_rows(g_cm, e_pad)[:, :n].T,
-                None, None, None, None)
+                None, None, None)
     g_exp = jnp.stack(sorted_ops[1:], axis=-1)
     cum = _blocked_cumsum(g_exp)
     e = jnp.minimum(ends, cap)
     top = jnp.where((e > 0)[:, None], cum[jnp.clip(e - 1, 0, cap - 1)], 0.0)
     prev = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
-    return top - prev, None, None, None, None
+    return top - prev, None, None, None
 
 
 sorted_gather.defvjp(_fwd, _bwd)

@@ -32,14 +32,15 @@ from threedgrut_tpu.ops.projection import Projection, tile_min_power_response
 
 
 class TileBinning(NamedTuple):
-    sorted_particle_idx: jnp.ndarray  # [isect_capacity] int32 particle per slot
+    sorted_particle_idx: jnp.ndarray  # [isect_capacity] int32 particle per
+                                      # slot; tail slots (beyond the true
+                                      # total) carry N (sorts past every real
+                                      # particle in the gather backward)
     sorted_tile: jnp.ndarray          # [isect_capacity] int32 tile per slot
     tile_starts: jnp.ndarray          # [num_tiles] int32
     tile_ends: jnp.ndarray            # [num_tiles] int32
     num_intersections: jnp.ndarray    # [] int32 (pre-clamp true total)
     overflow: jnp.ndarray             # [] bool — true total exceeded capacity
-    perm: jnp.ndarray                 # [isect_capacity] int32 expansion slot
-                                      # at each sorted position
     particle_ends: jnp.ndarray        # [N] int32 cumsum of per-particle counts
     particle_counts: jnp.ndarray      # [N] int32
 
@@ -128,11 +129,13 @@ def _bin_particles_pallas(
     # autodiff), and pallas_call has no JVP rule to trace through.
     tile_key, depth_key, pidx_c = ex.expand_keys(
         jax.lax.stop_gradient(a_rank.T), ends_rank.astype(jnp.int32),
-        cap, tile_grid, tile_culling)
+        cap, tile_grid, tile_culling, pid_sentinel=n)
 
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    sorted_tile, _, sorted_idx, perm = jax.lax.sort(
-        (tile_key, depth_key, pidx_c, slot), num_keys=2)
+    # 3-operand sort: the gather backward unsorts by PARTICLE ID (stable, so
+    # segments are the same [ends[p-1], ends[p]) ranges) — no expansion-slot
+    # permutation operand needed (ops/sorted_gather.py).
+    sorted_tile, _, sorted_idx = jax.lax.sort(
+        (tile_key, depth_key, pidx_c), num_keys=2)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -145,7 +148,6 @@ def _bin_particles_pallas(
         tile_ends=tends,
         num_intersections=total,
         overflow=overflow,
-        perm=perm,
         particle_ends=ends,
         particle_counts=counts,
     )
@@ -208,7 +210,8 @@ def _bin_particles_xla(
     tx = a[:, 0].astype(jnp.int32) + local % bbox_w
     tile = ty * gx + tx
 
-    valid = (local >= 0) & (local < a[:, 3].astype(jnp.int32))
+    owned = (local >= 0) & (local < a[:, 3].astype(jnp.int32))
+    valid = owned
     if tile_culling:
         tile_xy = jnp.stack([tx, ty], axis=-1).astype(jnp.float32)
         power = tile_min_power_response(tile_xy, a[:, 5:8], a[:, 8:10])
@@ -217,9 +220,14 @@ def _bin_particles_xla(
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     tile_key = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, a[:, 4], big)
+    # Tail slots (not owned by any particle) sort with pid = N so the gather
+    # backward's particle-id unsort keeps them past every real segment;
+    # culled-but-owned slots keep their pid (their counts include them, and
+    # their cotangents are zero).
+    pid_key = jnp.where(owned, pidx_c, n)
 
-    sorted_tile, _, sorted_idx, perm = jax.lax.sort(
-        (tile_key, depth_key, pidx_c, slot), num_keys=2)
+    sorted_tile, _, sorted_idx = jax.lax.sort(
+        (tile_key, depth_key, pid_key), num_keys=2)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -232,7 +240,6 @@ def _bin_particles_xla(
         tile_ends=tends,
         num_intersections=total,
         overflow=overflow,
-        perm=perm,
         particle_ends=ends,
         particle_counts=counts,
     )

@@ -131,7 +131,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh, resolution: Tuple[int, int],
                 proj, tile_grid, isect_capacity,
                 tile_culling=cfg.render.tile_culling)
             data_sorted = sorted_gather(
-                packed, binning.sorted_particle_idx, binning.perm,
+                packed, binning.sorted_particle_idx,
                 binning.particle_ends, binning.particle_counts,
                 "bf16" if cfg.render.low_precision_grads else "f32")
             rays = gut.packed_world_rays(camera, pose, tile_grid, T)

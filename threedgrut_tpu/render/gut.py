@@ -91,7 +91,7 @@ def prepare(
         f"isect_capacity must be a multiple of {tile_raster.CHUNK}")
     from threedgrut_tpu.ops.sorted_gather import sorted_gather
     data_sorted = sorted_gather(
-        packed, binning.sorted_particle_idx, binning.perm,
+        packed, binning.sorted_particle_idx,
         binning.particle_ends, binning.particle_counts,
         "bf16" if low_precision_grads else "f32")              # [cap, 16]
     return proj, binning, data_sorted, tile_grid

@@ -96,8 +96,14 @@ def main():
 
     @jax.jit
     def do_sg_bwd(g, p, e, c):
-        return sg._bwd((n, p, e, c), g)
+        return sg._bwd("f32", (n, p, e, c), g)
     timed("sorted_gather _bwd total", do_sg_bwd, g_rows, perm, ends_full,
+          counts_full)
+
+    @jax.jit
+    def do_sg_bwd16(g, p, e, c):
+        return sg._bwd("bf16", (n, p, e, c), g)
+    timed("sorted_gather _bwd bf16", do_sg_bwd16, g_rows, perm, ends_full,
           counts_full)
 
     print("done")

@@ -144,7 +144,11 @@ def main(stages):
         timed("pallas fwd+bwd", do_fwd_bwd, data_sorted, binning, rays)
 
     # --- sorted_gather backward components ---
-    perm = binning.perm
+    # A synthetic permutation stands in for the former expansion-slot perm
+    # (the backward now keys on sorted_particle_idx; the probes time the
+    # same data movement).
+    perm = jnp.asarray(
+        np.random.default_rng(3).permutation(cap).astype(np.int32))
     if want("sg"):
         @jax.jit
         def do_argsort(p):
@@ -174,8 +178,16 @@ def main(stages):
         @jax.jit
         def do_sg_bwd(g, b):
             from threedgrut_tpu.ops import sorted_gather as sg
-            return sg._bwd((n, b.perm, b.particle_ends, b.particle_counts), g)
+            return sg._bwd("f32", (n, b.sorted_particle_idx, b.particle_ends,
+                                   b.particle_counts), g)
         timed("sorted_gather bwd total", do_sg_bwd, g_ds, binning)
+
+        @jax.jit
+        def do_sg_bwd16(g, b):
+            from threedgrut_tpu.ops import sorted_gather as sg
+            return sg._bwd("bf16", (n, b.sorted_particle_idx,
+                                    b.particle_ends, b.particle_counts), g)
+        timed("sorted_gather bwd bf16", do_sg_bwd16, g_ds, binning)
 
     if want("bin2"):
         # bin_particles internals, with realistic data distributions
