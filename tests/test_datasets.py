@@ -35,6 +35,23 @@ def nerf_dir(tmp_path_factory):
     return str(d)
 
 
+def test_nerf_dataset_shutter_type(nerf_dir):
+    """dataset.shutter_type stamps View.shutter + pose_end (VERDICT missing
+    #6: the reference drives shutter from sensor metadata,
+    threedgut_tracer/tracer.py:138-151)."""
+    from threedgrut_tpu.cameras import ShutterType
+    ds = make("nerf", nerf_dir, split="train",
+              shutter_type="rolling_top_to_bottom")
+    v = ds[0]
+    assert v.shutter == ShutterType.ROLLING_TOP_TO_BOTTOM
+    assert v.pose_end is not None
+    np.testing.assert_array_equal(v.pose_end, v.T_to_world)
+    # Default stays global with no end pose.
+    ds_g = make("nerf", nerf_dir, split="train")
+    assert ds_g[0].shutter == ShutterType.GLOBAL
+    assert ds_g[0].pose_end is None
+
+
 def test_nerf_dataset(nerf_dir):
     ds = make("nerf", nerf_dir, split="train")
     assert len(ds) == 4

@@ -115,6 +115,13 @@ class DatasetConfig:
     downsample_factor: int = 1
     test_split_interval: int = 8          # colmap val split
     bg_color: Optional[Tuple[float, float, float]] = None
+    # Sensor shutter model applied to every view (reference drives this from
+    # sensor metadata, threedgut_tracer/tracer.py:138-151 + camera_models.py
+    # ShutterType; COLMAP/NeRF formats carry no timestamps, so start==end
+    # pose unless the dataset supplies per-frame end poses): one of
+    # global | rolling_top_to_bottom | rolling_left_to_right |
+    # rolling_bottom_to_top | rolling_right_to_left.
+    shutter_type: str = "global"
 
 
 @dataclasses.dataclass
@@ -165,17 +172,42 @@ def preset_mcmc(base: Optional[Config] = None) -> Config:
     return cfg
 
 
+def preset_3dgut_sorted() -> Config:
+    """Per-ray re-sorted ("sorted") 3DGUT mode: the reference's paper config
+    configs/paper/3dgut/base_sorted.yaml sets k_buffer_size=16; here 16
+    odd-even resort passes bound per-ray displacement by 16 slots."""
+    cfg = Config()
+    cfg.render.k_buffer_passes = 16
+    return cfg
+
+
 PRESETS = {
     "nerf_synthetic_3dgut": preset_3dgut,
     "nerf_synthetic_3dgrt": preset_3dgrt,
     "colmap_3dgut": preset_3dgut,
     "colmap_3dgrt": preset_3dgrt,
     "scannetpp_3dgut": preset_3dgut,
+    "scannetpp_3dgrt": preset_3dgrt,
+    # MCMC app presets (reference configs/apps/{colmap_3dgut_mcmc,
+    # colmap_3dgrt_mcmc}.yaml: strategy -> mcmc, densify window to 25000).
+    "nerf_synthetic_3dgut_mcmc": lambda: preset_mcmc(preset_3dgut()),
+    "nerf_synthetic_3dgrt_mcmc": lambda: preset_mcmc(preset_3dgrt()),
+    "colmap_3dgut_mcmc": lambda: preset_mcmc(preset_3dgut()),
+    "colmap_3dgrt_mcmc": lambda: preset_mcmc(preset_3dgrt()),
+    # Paper "sorted" mode (configs/paper/3dgut/base_sorted.yaml).
+    "nerf_synthetic_3dgut_sorted": preset_3dgut_sorted,
+    "colmap_3dgut_sorted": preset_3dgut_sorted,
 }
 
 
 def make(name: str = "nerf_synthetic_3dgut", overrides=()) -> Config:
     cfg = PRESETS[name]()
+    # Selecting the MCMC strategy by override pulls in its window defaults
+    # first (the reference's strategy/mcmc.yaml group brings its own
+    # densify_end=25000); explicit dotted overrides still win below.
+    if any(ov.replace(" ", "").startswith("strategy.method=mcmc")
+           for ov in overrides):
+        cfg = preset_mcmc(cfg)
     for ov in overrides:
         apply_override(cfg, ov)
     return cfg

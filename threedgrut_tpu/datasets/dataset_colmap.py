@@ -56,9 +56,12 @@ class ColmapDataset:
     def __init__(self, path: str, split: str = "train",
                  downsample_factor: int = 1, test_split_interval: int = 8,
                  sparse_subdir: Optional[str] = None,
-                 images_subdir: Optional[str] = None):
+                 images_subdir: Optional[str] = None,
+                 shutter_type: str = "global"):
+        from threedgrut_tpu.datasets.protocols import parse_shutter
         self.path = path
         self.downsample = downsample_factor
+        self.shutter = parse_shutter(shutter_type)
         sparse = sparse_subdir or self._find_sparse(path)
         cams, images, self.points, self.point_colors = colmap.load_sparse(
             os.path.join(path, sparse))
@@ -135,8 +138,10 @@ class ColmapDataset:
         img = img[..., :3]
         h, w = img.shape[:2]
         cam = self.cameras[im.camera_id]
-        view = View(T_to_world=self._poses[idx], camera=cam,
-                    resolution=(w, h), rgb_gt=img)
+        from threedgrut_tpu.datasets.protocols import apply_shutter
+        view = apply_shutter(
+            View(T_to_world=self._poses[idx], camera=cam,
+                 resolution=(w, h), rgb_gt=img), self.shutter)
         self._cache[idx] = view
         return view
 
@@ -146,7 +151,9 @@ class ScannetppDataset(ColmapDataset):
     `undistorted_images` (reference dataset_scannetpp.py:22-48)."""
 
     def __init__(self, path: str, split: str = "train",
-                 downsample_factor: int = 1, test_split_interval: int = 8):
+                 downsample_factor: int = 1, test_split_interval: int = 8,
+                 shutter_type: str = "global"):
         super().__init__(path, split, downsample_factor, test_split_interval,
                          sparse_subdir="colmap",
-                         images_subdir="undistorted_images")
+                         images_subdir="undistorted_images",
+                         shutter_type=shutter_type)

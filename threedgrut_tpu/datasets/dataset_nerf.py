@@ -35,9 +35,12 @@ def _load_image(path: str) -> np.ndarray:
 class NeRFDataset:
     def __init__(self, path: str, split: str = "train",
                  downsample_factor: int = 1,
-                 bg_color: Optional[np.ndarray] = None):
+                 bg_color: Optional[np.ndarray] = None,
+                 shutter_type: str = "global"):
+        from threedgrut_tpu.datasets.protocols import parse_shutter
         self.path = path
         self.split = split
+        self.shutter = parse_shutter(shutter_type)
         with open(os.path.join(path, f"transforms_{split}.json")) as f:
             meta = json.load(f)
         self.camera_angle_x = float(meta["camera_angle_x"])
@@ -100,8 +103,10 @@ class NeRFDataset:
             if m.ndim == 3:
                 m = m[..., 0]
             mask = m[..., None].astype(np.float32)
-        view = View(T_to_world=self._poses[idx], camera=cam,
-                    resolution=(w, h), rgb_gt=img.astype(np.float32),
-                    mask=mask)
+        from threedgrut_tpu.datasets.protocols import apply_shutter
+        view = apply_shutter(
+            View(T_to_world=self._poses[idx], camera=cam,
+                 resolution=(w, h), rgb_gt=img.astype(np.float32),
+                 mask=mask), self.shutter)
         self._views[idx] = view
         return view

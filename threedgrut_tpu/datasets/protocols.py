@@ -38,6 +38,31 @@ class MultiViewDataset(Protocol):
     def observer_points(self) -> np.ndarray: ...
 
 
+def parse_shutter(name) -> ShutterType:
+    """Config string -> ShutterType ('global', 'rolling_top_to_bottom', ...).
+
+    The reference carries the shutter on the sensor model
+    (threedgrut/datasets/camera_models.py:30-44) and the tracer builds the
+    start/end pose pair from it (threedgut_tracer/tracer.py:138-151); here
+    datasets stamp the same enum onto every View."""
+    if isinstance(name, ShutterType):
+        return name
+    return ShutterType[str(name).strip().upper()]
+
+
+def apply_shutter(view: View, shutter: ShutterType) -> View:
+    """Stamp a shutter model on a view. COLMAP/NeRF formats carry no pose
+    timestamps, so start == end pose (the reference does exactly this when
+    no timestamps are available, tracer.py:146-151); sensor pipelines with
+    real timestamps set `pose_end` themselves."""
+    if shutter == ShutterType.GLOBAL:
+        return view
+    view.shutter = shutter
+    if view.pose_end is None:
+        view.pose_end = view.T_to_world
+    return view
+
+
 def camera_bbox_extent(camera_centers: np.ndarray,
                        factor: float = 1.1) -> float:
     """Scene extent = factor * camera bounding-box diagonal

@@ -53,6 +53,11 @@ class DPTrainer(Trainer):
             self.params = dp.replicate(self.params, mesh)
             self.opt_state = dp.replicate(self.opt_state, mesh)
         self._steps: Dict[tuple, object] = {}
+        # Deferred overflow flag (same contract as Trainer.train_step): the
+        # host readback of the PREVIOUS step's flag overlaps the current
+        # step's device compute — an immediate bool() on device data would
+        # cost a full remote-tunnel round trip every step.
+        self._pending_overflow = None
 
     def _dp_step(self, resolution, sh_degree):
         key = (resolution, sh_degree, self.isect_capacity)
@@ -82,10 +87,18 @@ class DPTrainer(Trainer):
             self.params, self.opt_state, Ts, cams, gts, keys,
             jnp.float32(self.scene_extent))
         self.global_step += 1
-        if bool(metrics["overflow"]):
+        # Read the overflow flag one step LATE (see __init__): the step that
+        # overflowed is slightly truncated; the next step retraces with
+        # doubled capacity. Mirrors Trainer.train_step:229-239.
+        prev_ovf, self._pending_overflow = (self._pending_overflow,
+                                            metrics["overflow"])
+        if prev_ovf is not None and bool(prev_ovf):
             self.isect_capacity *= 2
-            print(f"isect overflow at step {self.global_step}; capacity -> "
-                  f"{self.isect_capacity}", flush=True)
+            print(f"isect overflow at step {self.global_step - 1}; capacity "
+                  f"-> {self.isect_capacity}", flush=True)
+            # The step just dispatched also ran at the OLD capacity; its flag
+            # reports the same shortage — drop it to avoid double-doubling.
+            self._pending_overflow = None
         if self.strategy is not None:
             aux = dict(pos_grad_norm=metrics["pos_grad_norm"],
                        visibility=metrics["visibility"],

@@ -59,11 +59,13 @@ def main(argv=None):
     val_split = "val" if cfg.dataset.type in ("colmap", "scannetpp") else "test"
     dataset = datasets.make(cfg.dataset.type, cfg.dataset.path,
                             split=train_split,
-                            downsample_factor=cfg.dataset.downsample_factor)
+                            downsample_factor=cfg.dataset.downsample_factor,
+                            shutter_type=cfg.dataset.shutter_type)
     try:
         val_dataset = datasets.make(
             cfg.dataset.type, cfg.dataset.path, split=val_split,
-            downsample_factor=cfg.dataset.downsample_factor)
+            downsample_factor=cfg.dataset.downsample_factor,
+            shutter_type=cfg.dataset.shutter_type)
         if len(val_dataset) == 0:
             val_dataset = None
     except FileNotFoundError:
