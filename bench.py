@@ -37,13 +37,14 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # 3165440 = ceil(1.08 * true intersection count for this fixed seeded
-        # scene, 256-aligned) — precomputed by the autotune probe below (set
-        # BENCH_AUTOTUNE=1 to re-derive); hardcoding skips one large compile
-        # so the driver's timed run is robust to compile-queue slowness.
-        # Every per-slot stage (sorts, gathers, cumsums, kernel windows)
-        # scales with this capacity; the adaptive trainer sizes the same way.
-        n, res, iters, cap = 1_000_000, (800, 800), 10, 3165440
+        # 2917888 = ceil(1.08 * true intersection count for this fixed seeded
+        # scene, 256-aligned; count-time culling makes the true count 2.70M)
+        # — precomputed by the autotune probe below (set BENCH_AUTOTUNE=1 to
+        # re-derive); hardcoding skips one large compile so the driver's
+        # timed run is robust to compile-queue slowness. Every per-slot
+        # stage (sorts, gathers, cumsums, kernel windows) scales with this
+        # capacity; the adaptive trainer sizes the same way.
+        n, res, iters, cap = 1_000_000, (800, 800), 10, 2917888
         import os as _os_cap
         cap = int(_os_cap.environ.get("BENCH_CAPACITY", cap))
     else:

@@ -40,9 +40,13 @@ class RenderConfig:
     # (the benchmarked unsorted default).
     k_buffer_passes: int = 0
     ray_jitter: bool = False      # sub-pixel AA jitter during training
-    # Train-step backward only: round the per-slot cotangent reorder to bf16
-    # (packed pairs — half the unsort sort bandwidth). Per-particle gradient
-    # sums still accumulate in f32; relative error ~2^-9 on slot gradients.
+    # Train-step backward only: (a) round the per-slot cotangent reorder to
+    # bf16 (packed pairs — half the unsort sort bandwidth), (b) run the
+    # backward kernel's gradient-SUM matmuls at DEFAULT (one-pass bf16)
+    # instead of HIGHEST precision. Per-particle gradient sums still
+    # accumulate in f32; relative error ~2^-9 on slot gradients (quantified
+    # at scale: tools/ab_lowprec.py; per-op tolerance: the bf16 leg of
+    # tools/tpu_vs_cpu_check.py). Forward images are bit-identical.
     # Eval/parity paths always use exact f32 (the flag is gated on train).
     low_precision_grads: bool = True
     # Static capacity for tile intersections (pairs). Grown on overflow

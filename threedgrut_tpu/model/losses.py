@@ -26,19 +26,31 @@ def _gaussian_window(size: int, sigma: float):
     return np.asarray(g / np.sum(g), np.float32)
 
 
+def _blur_axis(img: jnp.ndarray, axis: int, w) -> jnp.ndarray:
+    """1-D 'same'-zero-padded correlation along `axis` as shift-multiply-
+    accumulate. XLA fuses the tap slices into one elementwise pass; the
+    conv_general_dilated formulation this replaces lowered 1-feature convs
+    off the MXU at ~1.7 ms per tap direction (21 ms total for SSIM fwd+bwd
+    at 800x800 on v5e; this form measures ~3 ms)."""
+    size = len(w)
+    half = size // 2
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (half, half)
+    xp = jnp.pad(img, pad)
+    acc = None
+    for k in range(size):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(k, k + n)
+        term = float(w[k]) * xp[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _blur(img: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of [H, W, C] with 'same' zero padding."""
-    w = jnp.asarray(_gaussian_window(size, sigma))
-    x = img.transpose(2, 0, 1)[:, None]            # [C, 1, H, W]
-    kh = w.reshape(1, 1, size, 1)
-    kw = w.reshape(1, 1, 1, size)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
-                                     dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
-                                     dimension_numbers=dn)
-    return x[:, 0].transpose(1, 2, 0)
+    w = _gaussian_window(size, sigma)
+    return _blur_axis(_blur_axis(img, 0, w), 1, w)
 
 
 def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11,

@@ -58,6 +58,17 @@ ROW_F = 16           # packed floats per particle
 # behind compute when a window's math is shorter than a DMA round trip.
 PREFETCH = max(1, int(_os.environ.get("TILE_RASTER_PREFETCH", "2")))
 _N_DBUF = PREFETCH + 1
+# Windows per DMA group: consecutive windows are contiguous in the HBM
+# [W, ROW_F, CHUNK] layout, so one DMA fetches GROUP windows and the inner
+# per-window compute unrolls statically. MEASURED SLOWER at 2 (36.6 vs 31.8
+# ms fwd at 1M Gaussians): the per-window cost is fixed compute, not loop/
+# DMA overhead, and grouping adds boundary-window waste — keep 1; the knob
+# remains for probing. isect capacities are multiples of 256 = 2 * CHUNK,
+# so GROUP=2 always divides the window count when probing.
+GROUP = max(1, int(_os.environ.get("TILE_RASTER_GROUP", "1")))
+# Pair-math formulation for u = A(o-p), v = Ad (and the backward's qj):
+# "vpu" broadcast outer products (default) vs "mxu" k=3 HIGHEST matmuls.
+_PAIR_MXU = _os.environ.get("TILE_RASTER_PAIR", "vpu") == "mxu"
 
 
 def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
@@ -112,23 +123,33 @@ def _pair_quantities(S, rays, degree, need_hit_t=True, has_t_max=True):
     p = [comp(9 + i) for i in range(3)]
     w0 = [o[i] - p[i] for i in range(3)]          # o - mean: [CHUNK, PIX]
     a = [comp(i) for i in range(9)]               # A row-major
-    # u_r = A_r . (o - p) = (A_r @ O) - (A_r . p);  v_r = A_r @ D.
-    # The ray-dependent halves are k=3 matmuls on the MXU instead of 5-op
-    # VPU chains per component (the VPU is this kernel's bottleneck).
-    ao = [jax.lax.dot_general(
-        S[3 * r:3 * r + 3, :], rays[0:3, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) for r in range(3)]
-    ad = [jax.lax.dot_general(
-        S[3 * r:3 * r + 3, :], rays[3:6, :],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) for r in range(3)]
-    ap = [a[3 * r + 0] * p[0] + a[3 * r + 1] * p[1] + a[3 * r + 2] * p[2]
-          for r in range(3)]                      # [CHUNK, 1]
-    u = [ao[r] - ap[r] for r in range(3)]
-    v = ad
+    # u_r = A_r . (o - p);  v_r = A_r . d.
+    if _PAIR_MXU:
+        # k=3 matmuls on the MXU. At HIGHEST precision each forces a 3-pass
+        # f32 split for a contraction the MXU barely uses — measured SLOWER
+        # than the VPU outer-product form below; kept for A/B probing
+        # (TILE_RASTER_PAIR=mxu).
+        ao = [jax.lax.dot_general(
+            S[3 * r:3 * r + 3, :], rays[0:3, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        ad = [jax.lax.dot_general(
+            S[3 * r:3 * r + 3, :], rays[3:6, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+        ap = [a[3 * r + 0] * p[0] + a[3 * r + 1] * p[1] + a[3 * r + 2] * p[2]
+              for r in range(3)]                  # [CHUNK, 1]
+        u = [ao[r] - ap[r] for r in range(3)]
+        v = ad
+    else:
+        # VPU broadcast outer-product form: exact f32 (no bf16 split),
+        # 5 passes per component.
+        u = [a[3 * r + 0] * w0[0] + a[3 * r + 1] * w0[1]
+             + a[3 * r + 2] * w0[2] for r in range(3)]
+        v = [a[3 * r + 0] * d[0] + a[3 * r + 1] * d[1]
+             + a[3 * r + 2] * d[2] for r in range(3)]
     cr = [v[1] * u[2] - v[2] * u[1],
           v[2] * u[0] - v[0] * u[2],
           v[0] * u[1] - v[1] * u[0]]              # v x u
@@ -299,89 +320,97 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
     end = ends_ref[t]
     w0 = start // CHUNK
     w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
+    # DMA groups of GROUP consecutive windows (boundary windows outside
+    # [start, end) are masked by row_mask, so over-fetch is harmless).
+    g0 = w0 // GROUP
+    g1 = jnp.where(end > start, (w1 - 1) // GROUP + 1, g0)
 
     out_ref[0] = jnp.zeros((8, PIX), jnp.float32)
     out_ref[0, 5, :] = jnp.ones((PIX,), jnp.float32)  # transmittance
 
     rays = rays_ref[0]
 
-    # Ring-buffered window DMA: keep PREFETCH windows in flight while
-    # computing one (the sequential per-window DMA wait would otherwise
-    # dominate: ~2us x #windows).
-    def dma(w, slot):
-        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
-                                     sem.at[slot])
+    # Ring-buffered group DMA: keep PREFETCH groups in flight while
+    # computing one (the sequential per-group DMA wait would otherwise
+    # dominate: ~2us x #groups).
+    def dma(g, slot):
+        return pltpu.make_async_copy(data_hbm.at[pl.ds(g * GROUP, GROUP)],
+                                     dbuf.at[slot], sem.at[slot])
 
     for k in range(PREFETCH):
-        @pl.when(w0 + k < w1)
+        @pl.when(g0 + k < g1)
         def _(k=k):
-            dma(w0 + k, (w0 + k) % _N_DBUF).start()
+            dma(g0 + k, (g0 + k) % _N_DBUF).start()
 
     def body(state):
-        w, _ = state
-        slot = w % _N_DBUF
-        dma(w, slot).wait()
+        g, _ = state
+        slot = g % _N_DBUF
+        dma(g, slot).wait()
 
-        @pl.when(w + PREFETCH < w1)
+        @pl.when(g + PREFETCH < g1)
         def _():
-            dma(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
+            dma(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
 
-        S = dbuf[slot]
-        row_mask = _row_mask(w, start, end)
+        for j in range(GROUP):
+            w = g * GROUP + j
+            S = dbuf[slot, j]
+            row_mask = _row_mask(w, start, end)
 
-        # hit_t is consumed by the depth output, the per-ray segment test,
-        # and the re-sort keys; with none of those needed its 7-pass chain
-        # is skipped (aux_outputs=False: the training loss reads only
-        # rgb + opacity).
-        need_hit_t = aux_outputs or has_t_max or bool(sorted_passes)
-        q = _pair_quantities(S, rays, degree, need_hit_t=need_hit_t,
-                             has_t_max=has_t_max)
-        alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
-                                   max_alpha)
-        one_m = 1.0 - alpha
-        row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-                   + w * CHUNK)
-        excl, _ = _t_before_excl(alpha, one_m, q, sorted_passes,
-                                 row_idx, start, end)
-        t_carry = out_ref[0, 5, :][None, :]
-        t_before = t_carry * excl
-        live = t_before > min_transmittance
-        w_ = jnp.where(live, alpha * t_before, 0.0)
+            # hit_t is consumed by the depth output, the per-ray segment
+            # test, and the re-sort keys; with none of those needed its
+            # 7-pass chain is skipped (aux_outputs=False: the training loss
+            # reads only rgb + opacity).
+            need_hit_t = aux_outputs or has_t_max or bool(sorted_passes)
+            q = _pair_quantities(S, rays, degree, need_hit_t=need_hit_t,
+                                 has_t_max=has_t_max)
+            alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
+                                       max_alpha)
+            one_m = 1.0 - alpha
+            row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                       + w * CHUNK)
+            excl, _ = _t_before_excl(alpha, one_m, q, sorted_passes,
+                                     row_idx, start, end)
+            t_carry = out_ref[0, 5, :][None, :]
+            t_before = t_carry * excl
+            live = t_before > min_transmittance
+            w_ = jnp.where(live, alpha * t_before, 0.0)
 
-        rgb = jax.lax.dot_general(
-            S[13:16, :], w_, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [3, PIX]
-        out_ref[0, 0:3, :] += rgb
-        out_ref[0, 3, :] += jnp.sum(w_, axis=0)
-        if aux_outputs:
-            out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
-            out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32),
-                                        axis=0)
-        # Transmittance is monotone non-increasing along COMPOSITING order
-        # and frozen at ray termination (dead rows composite nothing), so
-        # the end-of-window carry is min over LIVE rows of T-after-row,
-        # floored at the incoming carry — order-independent, which also
-        # makes it exact under the per-ray re-sorted mode.
-        t_after = jnp.where(live, t_before * one_m, jnp.float32(3.4e38))
-        out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0), t_carry[0])
+            rgb = jax.lax.dot_general(
+                S[13:16, :], w_, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [3, PIX]
+            out_ref[0, 0:3, :] += rgb
+            out_ref[0, 3, :] += jnp.sum(w_, axis=0)
+            if aux_outputs:
+                out_ref[0, 4, :] += jnp.sum(w_ * q["hit_t"], axis=0)
+                out_ref[0, 6, :] += jnp.sum((w_ > 0.0).astype(jnp.float32),
+                                            axis=0)
+            # Transmittance is monotone non-increasing along COMPOSITING
+            # order and frozen at ray termination (dead rows composite
+            # nothing), so the end-of-window carry is min over LIVE rows of
+            # T-after-row, floored at the incoming carry — order-
+            # independent, which also makes it exact under the per-ray
+            # re-sorted mode.
+            t_after = jnp.where(live, t_before * one_m, jnp.float32(3.4e38))
+            out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0),
+                                           t_carry[0])
         alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
-        return w + 1, alive
+        return g + 1, alive
 
     def cond(state):
-        w, alive = state
-        return (w < w1) & alive
+        g, alive = state
+        return (g < g1) & alive
 
-    wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
+    gf, _ = jax.lax.while_loop(cond, body, (g0, jnp.bool_(True)))
 
     # Early exit may leave up to PREFETCH started-but-unconsumed DMAs (the
-    # invariant is: windows wf..min(w1, wf+PREFETCH)-1 are in flight); drain
+    # invariant is: groups gf..min(g1, gf+PREFETCH)-1 are in flight); drain
     # them so the semaphores are clean for the next grid step (scratch
     # persists).
     for k in range(PREFETCH):
-        @pl.when(wf + k < w1)
+        @pl.when(gf + k < g1)
         def _(k=k):
-            dma(wf + k, (wf + k) % _N_DBUF).wait()
+            dma(gf + k, (gf + k) % _N_DBUF).wait()
 
 
 _N_WBUF = 4   # gradient write-buffer ring depth (overlaps write DMAs)
@@ -391,7 +420,7 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                      gout_ref, zeros_hbm, gdata_hbm, dbuf, wbuf, sem,
                      wsem, wstate, *, degree, min_transmittance, min_response,
                      min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
-                     aux_grads=True):
+                     aux_grads=True, lowprec_grads=False):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
@@ -400,14 +429,14 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
     walk early-exits with the forward's transmittance criterion — untouched
     windows keep zero gradients.
 
-    Gradient windows are written EXACTLY ONCE, never read back: a window
-    shared by several consecutive tiles (tile ranges are contiguous in slot
-    order, so all sharers are consecutive grid steps) is blended in VMEM via
-    the persistent write-buffer ring — each later write contains every
-    earlier tile's rows, so no read-modify-write DMA and no per-window write
-    stall (writes overlap the next windows' compute; hazards are tracked in
-    SMEM `wstate`: [0]=last window written, [1]=write counter, [2+s]=pending
-    window id per ring slot or -1).
+    Gradient windows are written EXACTLY ONCE, never read back: a GROUP of
+    windows shared by several consecutive tiles (tile ranges are contiguous
+    in slot order, so all sharers are consecutive grid steps) is blended in
+    VMEM via the persistent write-buffer ring — each later write contains
+    every earlier tile's rows, so no read-modify-write DMA and no per-group
+    write stall (writes overlap the next groups' compute; hazards are
+    tracked in SMEM `wstate`: [0]=last group written, [1]=write counter,
+    [2+s]=pending group id per ring slot or -1).
     """
     del zeros_hbm  # aliased into gdata_hbm; only written through the alias
     t = pl.program_id(0)
@@ -415,6 +444,8 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
     end = ends_ref[t]
     w0 = start // CHUNK
     w1 = jnp.where(end > start, (end - 1) // CHUNK + 1, w0)
+    g0 = w0 // GROUP
+    g1 = jnp.where(end > start, (w1 - 1) // GROUP + 1, g0)
 
     @pl.when(t == 0)
     def _():
@@ -423,22 +454,24 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         for s in range(_N_WBUF):
             wstate[2 + s] = -1
 
-    def dma_data(w, slot):
-        return pltpu.make_async_copy(data_hbm.at[w], dbuf.at[slot],
-                                     sem.at[slot])
+    def dma_data(g, slot):
+        return pltpu.make_async_copy(data_hbm.at[pl.ds(g * GROUP, GROUP)],
+                                     dbuf.at[slot], sem.at[slot])
 
     def wait_write(s):
         """Complete the pending gradient-write on ring slot s, if any."""
         @pl.when(wstate[2 + s] >= 0)
         def _():
-            pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[wstate[2 + s]],
-                                  wsem.at[s]).wait()
+            pltpu.make_async_copy(
+                wbuf.at[s],
+                gdata_hbm.at[pl.ds(wstate[2 + s] * GROUP, GROUP)],
+                wsem.at[s]).wait()
         wstate[2 + s] = -1
 
     for k in range(PREFETCH):
-        @pl.when(w0 + k < w1)
+        @pl.when(g0 + k < g1)
         def _(k=k):
-            dma_data(w0 + k, (w0 + k) % _N_DBUF).start()
+            dma_data(g0 + k, (g0 + k) % _N_DBUF).start()
 
     rays = rays_ref[0]
     dC = gout_ref[0, 0:3, :]          # [3, PIX]
@@ -459,15 +492,44 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         a_tot = a_tot + (fwd_ref[0, 4, :] * dD[0, :])[None, :]
 
     def body(state):
-        w, t_carry_v, prefix_v = state
-        slot = w % _N_DBUF
-        dma_data(w, slot).wait()
+        g, t_carry_v, prefix_v = state
+        slot = g % _N_DBUF
+        dma_data(g, slot).wait()
 
-        @pl.when(w + PREFETCH < w1)
+        @pl.when(g + PREFETCH < g1)
         def _():
-            dma_data(w + PREFETCH, (w + PREFETCH) % _N_DBUF).start()
+            dma_data(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
 
-        S = dbuf[slot]
+        g_blocks = []
+        for j in range(GROUP):
+            w = g * GROUP + j
+            t_carry_v, prefix_v, G = _bwd_window(
+                dbuf[slot, j], w, t_carry_v, prefix_v)
+            g_blocks.append(G)
+
+        # Group-shared blend without RMW: rows outside [start, end) are
+        # zero; if the previous write targeted this same GROUP (boundary
+        # shared with the preceding tile), add its buffered contents.
+        Gs = jnp.stack(g_blocks, axis=0)             # [GROUP, ROW_F, CHUNK]
+        k = wstate[1]
+        prev_slot = (k + _N_WBUF - 1) % _N_WBUF   # == (k-1) mod NW, k >= 0
+        same = (g == wstate[0]) & (k > 0)
+        Gs = Gs + jnp.where(same, wbuf[prev_slot], 0.0)
+        s = k % _N_WBUF
+        wait_write(s)                 # ring-slot reuse hazard
+        @pl.when(same & (prev_slot != s))
+        def _():
+            wait_write(prev_slot)     # same-group write ordering
+        wbuf[s] = Gs
+        pltpu.make_async_copy(wbuf.at[s],
+                              gdata_hbm.at[pl.ds(g * GROUP, GROUP)],
+                              wsem.at[s]).start()
+        wstate[2 + s] = g
+        wstate[0] = g
+        wstate[1] = k + 1
+        return g + 1, t_carry_v, prefix_v
+
+    def _bwd_window(S, w, t_carry_v, prefix_v):
         row_mask = _row_mask(w, start, end)
 
         need_hit_t = aux_grads or has_t_max or bool(sorted_passes)
@@ -485,10 +547,11 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         w_ = jnp.where(live, alpha * t_before, 0.0)
 
         # Per-hit pixel contribution q_j = c_j . dC + hitT_j * dD + dO.
-        qj = jax.lax.dot_general(
-            S[13:16, :], dC, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [CHUNK, PIX]
+        # Broadcast outer products (see _pair_quantities): exact f32, and
+        # cheaper than a k=3 HIGHEST matmul.
+        qj = (S[13, :][:, None] * dC[0, :][None, :]
+              + S[14, :][:, None] * dC[1, :][None, :]
+              + S[15, :][:, None] * dC[2, :][None, :])  # [CHUNK, PIX]
         qj = qj + q["hit_t"] * dD + dO if aux_grads else qj + dO
 
         wq = w_ * qj
@@ -553,14 +616,21 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # output orientation — no sublane->lane transposes).
         o1 = jnp.concatenate([rays[0:3, :], jnp.ones((1, PIX), jnp.float32)],
                              axis=0)                       # [4, PIX]
+        # Gradient-SUM contractions (k = PIX): with lowprec_grads these run
+        # at DEFAULT (one bf16 pass) instead of HIGHEST (3-pass f32 split) —
+        # ~2^-9 relative error on per-window gradient sums, the same class
+        # as the bf16 cotangent reorder this flag also enables
+        # (ops/sorted_gather.py). Forward math is untouched either way.
+        gprec = (jax.lax.Precision.DEFAULT if lowprec_grads
+                 else jax.lax.Precision.HIGHEST)
         M = [jax.lax.dot_general(
             o1, du[r], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+            precision=gprec) for r in range(3)]
         N = [jax.lax.dot_general(
             rays[3:6, :], dv[r], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) for r in range(3)]
+            precision=gprec) for r in range(3)]
         rows = [M[r][k][None, :] - S[9 + k, :][None, :] * M[r][3][None, :]
                 + N[r][k][None, :]
                 for r in range(3) for k in range(3)]
@@ -574,54 +644,35 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         gcol = jax.lax.dot_general(
             dC, w_, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+            precision=gprec)
         G = jnp.concatenate(rows + [gcol], axis=0)   # [ROW_F, CHUNK]
-
-        # Window-shared blend without RMW: rows outside [start, end) are
-        # zero; if the previous write targeted this same window (boundary
-        # shared with the preceding tile), add its buffered contents.
         keep = row_mask[:, 0][None, :]               # [1, CHUNK] over rows
         G = jnp.where(keep, G, 0.0)
-        k = wstate[1]
-        prev_slot = (k + _N_WBUF - 1) % _N_WBUF   # == (k-1) mod NW, k >= 0
-        same = (w == wstate[0]) & (k > 0)
-        G = G + jnp.where(same, wbuf[prev_slot], 0.0)
-        s = k % _N_WBUF
-        wait_write(s)                 # ring-slot reuse hazard
-        @pl.when(same & (prev_slot != s))
-        def _():
-            wait_write(prev_slot)     # same-window write ordering
-        wbuf[s] = G
-        pltpu.make_async_copy(wbuf.at[s], gdata_hbm.at[w],
-                              wsem.at[s]).start()
-        wstate[2 + s] = w
-        wstate[0] = w
-        wstate[1] = k + 1
 
         # Same order-independent min-reduce carry as the forward kernel.
         t_carry_new = jnp.minimum(jnp.min(
             jnp.where(live, t_before * one_m, jnp.float32(3.4e38)), axis=0),
             t_carry_v)
         prefix_new = prefix_v + jnp.sum(wq, axis=0)
-        return w + 1, t_carry_new, prefix_new
+        return t_carry_new, prefix_new, G
 
     def cond(state):
-        w, t_carry_v, _ = state
+        g, t_carry_v, _ = state
         # Early exit mirrors the forward: once every ray's transmittance is
         # below the floor no later hit has weight or gradient, and the
         # pre-zeroed output already holds the correct (zero) values.
-        return (w < w1) & jnp.any(t_carry_v > min_transmittance)
+        return (g < g1) & jnp.any(t_carry_v > min_transmittance)
 
-    wf, _, _ = jax.lax.while_loop(
+    gf, _, _ = jax.lax.while_loop(
         cond, body,
-        (w0, jnp.ones((PIX,), jnp.float32),
+        (g0, jnp.ones((PIX,), jnp.float32),
          jnp.zeros((PIX,), jnp.float32)))
 
     # Drain any in-flight prefetches left by an early exit.
     for k in range(PREFETCH):
-        @pl.when(wf + k < w1)
+        @pl.when(gf + k < g1)
         def _(k=k):
-            dma_data(wf + k, (wf + k) % _N_DBUF).wait()
+            dma_data(gf + k, (gf + k) % _N_DBUF).wait()
 
     # On the final grid step, complete all outstanding gradient writes.
     @pl.when(t == pl.num_programs(0) - 1)
@@ -646,7 +697,7 @@ def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def tile_composite(
     data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
@@ -661,6 +712,7 @@ def tile_composite(
     has_t_max: bool = True,
     aux_grads: bool = True,
     aux_outputs: bool = True,
+    lowprec_grads: bool = False,
 ) -> jnp.ndarray:
     """Returns [num_tiles, 8, 256] forward buffer (see module docstring).
 
@@ -706,10 +758,11 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_N_DBUF, ROW_F, CHUNK), jnp.float32),
+            pltpu.VMEM((_N_DBUF, GROUP, ROW_F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((_N_DBUF,)),
         ],
     )
+    assert wdata.shape[0] % GROUP == 0, (wdata.shape, GROUP)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -723,7 +776,7 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
               min_transmittance, min_response, min_alpha, max_alpha,
               sorted_passes=0, has_t_max=True, aux_grads=True,
-              aux_outputs=True):
+              aux_outputs=True, lowprec_grads=False):
     out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                    min_transmittance, min_response, min_alpha, max_alpha,
                    sorted_passes, has_t_max, aux_outputs)
@@ -731,7 +784,8 @@ def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
 
 
 def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
-              sorted_passes, has_t_max, aux_grads, aux_outputs, res, g_out):
+              sorted_passes, has_t_max, aux_grads, aux_outputs, lowprec_grads,
+              res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
@@ -740,7 +794,7 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         min_transmittance=min_transmittance, min_response=min_response,
         min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
-        aux_grads=aux_grads)
+        aux_grads=aux_grads, lowprec_grads=lowprec_grads)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -756,13 +810,14 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((_N_DBUF, ROW_F, CHUNK), jnp.float32),  # data windows
-            pltpu.VMEM((_N_WBUF, ROW_F, CHUNK), jnp.float32),  # write ring
+            pltpu.VMEM((_N_DBUF, GROUP, ROW_F, CHUNK), jnp.float32),  # data
+            pltpu.VMEM((_N_WBUF, GROUP, ROW_F, CHUNK), jnp.float32),  # write
             pltpu.SemaphoreType.DMA((_N_DBUF,)),
             pltpu.SemaphoreType.DMA((_N_WBUF,)),
             pltpu.SMEM((2 + _N_WBUF,), jnp.int32),
         ],
     )
+    assert wdata.shape[0] % GROUP == 0, (wdata.shape, GROUP)
     zeros = jnp.zeros(wdata.shape, jnp.float32)
     g_windows = pl.pallas_call(
         kern,

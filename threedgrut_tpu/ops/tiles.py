@@ -82,39 +82,51 @@ def _bin_particles_pallas(
     n = proj.depth.shape[0]
     cap = isect_capacity
 
-    counts = proj.n_tiles.astype(jnp.int32)
+    # Count-time per-tile culling (expand.cull_masks): counts reflect only
+    # SURVIVING cells for maskable particles, so culled pairs never consume
+    # intersection capacity.
+    counts, m0, m1, m2 = ex.cull_masks(
+        proj.tile_min, proj.tile_max, proj.n_tiles, proj.conic, proj.center,
+        proj.max_power, tile_culling)
     ends = jnp.cumsum(counts)
     total = ends[-1]
     overflow = total > cap
 
-    # Compact live particles by rank (stable 2-operand sort) so segment ends
-    # are strictly increasing — bounds every 256-slot window's owners to
-    # <= 257 consecutive ranks (see expand.py docstring).
+    # Compact live particles by DEPTH rank (stable 2-operand sort; dead
+    # particles key to +max and land in a contiguous tail). Two birds: the
+    # compaction bounds every 256-slot window's owners to <= 257 consecutive
+    # ranks (see expand.py docstring), and because expansion order is now
+    # depth-ascending, the big (tile, depth) lex sort below needs NO depth
+    # operand at all — a stable sort on the tile key alone preserves the
+    # per-tile depth order. (The reference pays for depth with a 64-bit
+    # radix key, gutRenderer.cu concatTileDepthKeys; here it is free.)
     has = counts > 0
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, ids_of_rank = jax.lax.sort(
-        ((~has).astype(jnp.int32), idx), num_keys=1)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    rank_key = jnp.where(has, proj.depth, big)
+    _, ids_of_rank = jax.lax.sort((rank_key, idx), num_keys=1)
 
     attrs = jnp.concatenate([
         proj.tile_min.astype(jnp.float32),                      # 0:2
         (proj.tile_max[:, 0] - proj.tile_min[:, 0])[:, None]
         .astype(jnp.float32),                                   # 2 bbox_w
         counts[:, None].astype(jnp.float32),                    # 3
-        proj.depth[:, None],                                    # 4
+        m0[:, None].astype(jnp.float32),                        # 4 mask 0:24
         proj.conic,                                             # 5:8
         proj.center,                                            # 8:10
         proj.max_power[:, None],                                # 10
-    ], axis=-1)                                                 # [N, 11]
-    a_rank = attrs[ids_of_rank]                                 # [m, 11]
+        m1[:, None].astype(jnp.float32),                        # 11 mask 24:48
+        m2[:, None].astype(jnp.float32),                        # 12 mask 48:64
+    ], axis=-1)                                                 # [N, 13]
+    a_rank = attrs[ids_of_rank]                                 # [m, 13]
     counts_rank = a_rank[:, 3].astype(jnp.int32)
     ends_rank = jnp.cumsum(counts_rank)
     starts_rank = (ends_rank - counts_rank).astype(jnp.float32)
     a_rank = jnp.concatenate([
         a_rank,
-        starts_rank[:, None],                                   # 11 start
-        ids_of_rank.astype(jnp.float32)[:, None],               # 12 pidx
-        jnp.ones((n, 1), jnp.float32),                          # 13 owned
-        jnp.zeros((n, 2), jnp.float32),
+        starts_rank[:, None],                                   # 13 start
+        ids_of_rank.astype(jnp.float32)[:, None],               # 14 pidx
+        jnp.ones((n, 1), jnp.float32),                          # 15 owned
     ], axis=-1)                                                 # [N, 16]
 
     m_pad = max(512, -(-n // 256) * 256)
@@ -127,15 +139,16 @@ def _bin_particles_pallas(
     # Binning is a discrete structure decision: no gradient flows through
     # the sort keys (the reference's CUB pipeline likewise sits outside
     # autodiff), and pallas_call has no JVP rule to trace through.
-    tile_key, depth_key, pidx_c = ex.expand_keys(
+    tile_key, pidx_c = ex.expand_keys(
         jax.lax.stop_gradient(a_rank.T), ends_rank.astype(jnp.int32),
         cap, tile_grid, tile_culling, pid_sentinel=n)
 
-    # 3-operand sort: the gather backward unsorts by PARTICLE ID (stable, so
+    # 2-operand STABLE sort on the tile key alone: expansion order is depth-
+    # ascending (rank compaction above), so stability gives per-tile depth
+    # order for free. The gather backward unsorts by PARTICLE ID (stable, so
     # segments are the same [ends[p-1], ends[p]) ranges) — no expansion-slot
     # permutation operand needed (ops/sorted_gather.py).
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_key, depth_key, pidx_c), num_keys=2)
+    sorted_tile, sorted_idx = jax.lax.sort((tile_key, pidx_c), num_keys=1)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -164,50 +177,78 @@ def _bin_particles_xla(
     n = proj.depth.shape[0]
     cap = isect_capacity
 
-    counts = proj.n_tiles.astype(jnp.int32)
+    from threedgrut_tpu.ops.pallas import expand as ex
+
+    counts, m0, m1, m2 = ex.cull_masks(
+        proj.tile_min, proj.tile_max, proj.n_tiles, proj.conic, proj.center,
+        proj.max_power, tile_culling)
     ends = jnp.cumsum(counts)
     total = ends[-1]
     overflow = total > cap
-    starts = ends - counts
 
-    # Slot ownership (see module docstring): forward-fill (particle, start)
-    # from each particle's first slot. Expressed as a cumsum of DELTAS in
-    # f32 — values stay below 2^24 so every partial sum is exact, and a
-    # 2-channel f32 cumsum over [cap] is ~20x cheaper on TPU than the int32
-    # cummax formulation it replaces (measured 44.8 -> ~6 ms at cap=3.4M).
-    # Deltas are vs the previous count>0 particle, computed on the [N] axis.
+    # Depth-rank compaction, exactly as the Pallas path: live particles in
+    # depth order form a contiguous prefix, so expansion order is depth-
+    # ascending and the final sort is a stable tile-only sort.
     has = counts > 0
     idx = jnp.arange(n, dtype=jnp.int32)
-    prev_idx = jnp.roll(jax.lax.cummax(jnp.where(has, idx, -1)), 1).at[0].set(-1)
-    prev_start = jnp.roll(jax.lax.cummax(jnp.where(has, starts, -1)), 1).at[0].set(-1)
-    d_idx = (idx - jnp.maximum(prev_idx, 0)).astype(jnp.float32)
-    d_start = (starts - jnp.maximum(prev_start, 0)).astype(jnp.float32)
-    scatter_to = jnp.where(has, starts, cap)
-    buf = jnp.zeros((cap, 2), jnp.float32).at[scatter_to].set(
-        jnp.stack([d_idx, d_start], axis=-1), mode="drop")
-    from threedgrut_tpu.ops.sorted_gather import _blocked_cumsum
-    filled = _blocked_cumsum(buf)
-    pidx_c = filled[:, 0].astype(jnp.int32)
-    start_of = filled[:, 1].astype(jnp.int32)
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    local = slot - start_of
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    rank_key = jnp.where(has, proj.depth, big)
+    _, ids_of_rank = jax.lax.sort((rank_key, idx), num_keys=1)
 
-    # One packed gather of every per-slot attribute.
     attrs = jnp.concatenate([
         proj.tile_min.astype(jnp.float32),                      # 0:2
         (proj.tile_max[:, 0] - proj.tile_min[:, 0])[:, None]
         .astype(jnp.float32),                                   # 2 bbox_w
         counts[:, None].astype(jnp.float32),                    # 3
-        proj.depth[:, None],                                    # 4
+        m0[:, None].astype(jnp.float32),                        # 4
         proj.conic,                                             # 5:8
         proj.center,                                            # 8:10
         proj.max_power[:, None],                                # 10
-    ], axis=-1)                                                 # [N, 11]
-    a = attrs[pidx_c]                                           # [cap, 11]
+        idx[:, None].astype(jnp.float32),                       # 11 pidx
+        m1[:, None].astype(jnp.float32),                        # 12
+        m2[:, None].astype(jnp.float32),                        # 13
+    ], axis=-1)                                                 # [N, 14]
+    a_rank = attrs[ids_of_rank]                                 # [N, 14]
+    counts_rank = a_rank[:, 3].astype(jnp.int32)
+    ends_rank = jnp.cumsum(counts_rank)
+    starts_rank = ends_rank - counts_rank
+
+    # Slot ownership (see module docstring): forward-fill the owning RANK
+    # and its segment start from each rank's first slot. Live ranks are a
+    # contiguous prefix, so the deltas vs the previous rank are simply 1 and
+    # counts_rank[r-1]. Expressed as a cumsum of DELTAS in f32 — values stay
+    # below 2^24 so every partial sum is exact, and a 2-channel f32 cumsum
+    # over [cap] is ~20x cheaper on TPU than an int32 cummax formulation
+    # (measured 44.8 -> ~6 ms at cap=3.4M).
+    has_rank = counts_rank > 0
+    d_rank = jnp.where(idx > 0, 1.0, 0.0)
+    d_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), counts_rank[:-1]]).astype(jnp.float32)
+    scatter_to = jnp.where(has_rank, starts_rank, cap)
+    buf = jnp.zeros((cap, 2), jnp.float32).at[scatter_to].set(
+        jnp.stack([d_rank, d_start], axis=-1), mode="drop")
+    from threedgrut_tpu.ops.sorted_gather import _blocked_cumsum
+    filled = _blocked_cumsum(buf)
+    rank_c = filled[:, 0].astype(jnp.int32)
+    start_of = filled[:, 1].astype(jnp.int32)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    local = slot - start_of
+
+    # One packed gather of every per-slot attribute.
+    a = a_rank[rank_c]                                          # [cap, 14]
+    pidx_c = a[:, 11].astype(jnp.int32)
+
+    # Local index -> surviving bbox cell (identity for non-maskable rows,
+    # whose mask words are zero) — mirrors the Pallas expansion kernel.
+    am0 = a[:, 4].astype(jnp.int32)
+    am1 = a[:, 12].astype(jnp.int32)
+    am2 = a[:, 13].astype(jnp.int32)
+    sel = ex.select_nth_set_bit(am0, am1, am2, jnp.maximum(local, 0))
+    cell = jnp.where((am0 | am1 | am2) == 0, local, sel)
 
     bbox_w = jnp.maximum(a[:, 2].astype(jnp.int32), 1)
-    ty = a[:, 1].astype(jnp.int32) + local // bbox_w
-    tx = a[:, 0].astype(jnp.int32) + local % bbox_w
+    ty = a[:, 1].astype(jnp.int32) + cell // bbox_w
+    tx = a[:, 0].astype(jnp.int32) + cell % bbox_w
     tile = ty * gx + tx
 
     owned = (local >= 0) & (local < a[:, 3].astype(jnp.int32))
@@ -217,17 +258,14 @@ def _bin_particles_xla(
         power = tile_min_power_response(tile_xy, a[:, 5:8], a[:, 8:10])
         valid &= power < a[:, 10]
 
-    big = jnp.float32(jnp.finfo(jnp.float32).max)
     tile_key = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(valid, a[:, 4], big)
     # Tail slots (not owned by any particle) sort with pid = N so the gather
     # backward's particle-id unsort keeps them past every real segment;
     # culled-but-owned slots keep their pid (their counts include them, and
     # their cotangents are zero).
     pid_key = jnp.where(owned, pidx_c, n)
 
-    sorted_tile, _, sorted_idx = jax.lax.sort(
-        (tile_key, depth_key, pid_key), num_keys=2)
+    sorted_tile, sorted_idx = jax.lax.sort((tile_key, pid_key), num_keys=1)
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)

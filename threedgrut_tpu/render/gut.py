@@ -207,7 +207,7 @@ def render(
         data_sorted, binning.tile_starts, binning.tile_ends, rays,
         kernel_degree, min_transmittance, sorted_passes=sorted_passes,
         has_t_max=t_max is not None, aux_grads=aux_gradients,
-        aux_outputs=aux_outputs)
+        aux_outputs=aux_outputs, lowprec_grads=low_precision_grads)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]

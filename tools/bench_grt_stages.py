@@ -1,0 +1,135 @@
+"""Per-stage timings of the 3DGRT trace step (bench_grt.py workload).
+
+    python tools/bench_grt_stages.py [stage ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+import numpy as np
+
+
+def main(stages):
+    import jax
+    import jax.numpy as jnp
+    from threedgrut_tpu.render import grt
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    from threedgrut_tpu.ops.sorted_gather import gather_rows
+    from threedgrut_tpu import constants as C
+
+    n, side, cand, ITERS = 100_000, 512, 2048, 10
+    n_rays = side * side
+    nb = n_rays // 256
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    s = jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
+                                       (n, 3))).astype(np.float32))
+    opa = jnp.full((n,), 0.5, jnp.float32)
+    feats = np.zeros((n, 16, 3), np.float32)
+    feats[:, 0] = rng.uniform(-1, 1, (n, 3))
+    feats = jnp.asarray(feats)
+
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -4.0]]), (n_rays, 1))
+    px = (np.arange(side) + 0.5) / side * 0.8 - 0.4
+    gx, gy = np.meshgrid(px, px, indexing="xy")
+    jit = rng.uniform(-0.4 / side, 0.4 / side, (2,) + gx.shape)
+    d_img = np.stack([gx + jit[0], gy + jit[1], np.ones_like(gx)],
+                     -1).astype(np.float32)
+    t = side // 16
+    d_tiles = d_img.reshape(t, 16, t, 16, 3).transpose(0, 2, 1, 3, 4)
+    d = d_tiles.reshape(n_rays, 3)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        dt = (time.perf_counter() - t0) / ITERS * 1000
+        print(f"{name:32s} {dt:8.2f} ms", flush=True)
+        return out
+
+    want = (lambda x: not stages or x in stages)
+
+    radius = grt.bounding_radius(s, opa, C.KERNEL_DEGREE_3DGRT)
+    bundles = jax.jit(grt.make_bundles, static_argnums=1)(o, d, 256)
+
+    @jax.jit
+    def do_cull(p, r, b):
+        return grt.bundle_candidates(p, r, opa >= C.MIN_ALPHA, b, cand)
+
+    cand_idx, cand_mask, ovf, vis = do_cull(pos, radius, bundles)
+    if want("cull"):
+        timed("cone cull + top_k compact", do_cull, pos, radius, bundles)
+        counts = np.asarray(jnp.sum(cand_mask.astype(jnp.int32), axis=1))
+        print(f"    candidates/bundle: mean {counts.mean():.0f} "
+              f"max {counts.max()} cap {cand} overflow={bool(ovf)}")
+
+    @jax.jit
+    def do_pack(p):
+        return grt.pack_rows64(p, q, s, opa, feats)
+
+    rows64 = do_pack(pos)
+    if want("pack"):
+        timed("pack_rows64", do_pack, pos)
+
+    @jax.jit
+    def do_gather(r64, ci, cm):
+        data = gather_rows(r64, ci.reshape(-1))
+        return data.at[:, 12].multiply(cm.reshape(-1).astype(data.dtype))
+
+    data = do_gather(rows64, cand_idx, cand_mask)
+    if want("gather"):
+        timed("gather_rows fwd", do_gather, rows64, cand_idx, cand_mask)
+
+        @jax.jit
+        def do_gather_bwd(r64, ci, cm):
+            def f(rr):
+                dd = gather_rows(rr, ci.reshape(-1))
+                dd = dd.at[:, 12].multiply(cm.reshape(-1).astype(dd.dtype))
+                return jnp.sum(dd * dd)
+            return jax.grad(f)(r64)
+        timed("gather_rows fwd+bwd", do_gather_bwd, rows64, cand_idx,
+              cand_mask)
+
+    rays_img = jnp.concatenate([
+        o, d, jnp.zeros((n_rays, 1)), jnp.ones((n_rays, 1))], axis=-1)
+    rays = rays_img.reshape(nb, 256, 8).transpose(0, 2, 1)
+
+    @jax.jit
+    def do_fwd(dd, r):
+        return bundle_trace.bundle_composite(
+            dd, r, C.KERNEL_DEGREE_3DGRT, 3, C.MIN_TRANSMITTANCE_3DGRT)
+
+    out = do_fwd(data, rays)
+    if want("fwd"):
+        timed("bundle fwd", do_fwd, data, rays)
+
+    if want("bwd"):
+        @jax.jit
+        def do_fwd_bwd(dd, r):
+            def f(dd_):
+                o_ = bundle_trace.bundle_composite(
+                    dd_, r, C.KERNEL_DEGREE_3DGRT, 3,
+                    C.MIN_TRANSMITTANCE_3DGRT)
+                return jnp.sum(o_[:, 0:4, :])
+            return jax.grad(f)(dd)
+        timed("bundle fwd+bwd", do_fwd_bwd, data, rays)
+
+    print("done")
+
+
+if __name__ == "__main__":
+    main(set(sys.argv[1:]))

@@ -143,6 +143,18 @@ def main(stages):
     if want("bwd"):
         timed("pallas fwd+bwd", do_fwd_bwd, data_sorted, binning, rays)
 
+    if want("bwdlp"):
+        @jax.jit
+        def do_fwd_bwd_lp(ds, b, r):
+            def f(ds_):
+                o = tile_raster.tile_composite(
+                    ds_, b.tile_starts, b.tile_ends, r, 2, 1e-4,
+                    has_t_max=False, aux_grads=False, lowprec_grads=True)
+                return jnp.sum(o[:, 0:4, :])
+            return jax.grad(f)(ds)
+        timed("pallas fwd+bwd lowprec", do_fwd_bwd_lp, data_sorted, binning,
+              rays)
+
     # --- sorted_gather backward components ---
     # A synthetic permutation stands in for the former expansion-slot perm
     # (the backward now keys on sorted_particle_idx; the probes time the
