@@ -48,6 +48,10 @@ MIN_TRANSMITTANCE_3DGRT_EVAL = 0.03
 MIN_TRANSMITTANCE_3DGUT = 0.0001
 MAX_PARTICLE_SQ_DISTANCE = 9.0    # canonical-space slab test bound
 K_HITS_PER_TRACE = 16             # 3DGRT per-segment hit buffer depth
+# Per-ray odd-even re-sort passes in the fast bundle compositor — matches
+# the reference's per-ray sorted k=16 hit window (referenceOptix.cu:210-248:
+# hits more than 16 positions out of order are approximated there too).
+GRT_SORTED_PASSES = 16
 
 # Default kernel degrees.
 KERNEL_DEGREE_3DGRT = 4

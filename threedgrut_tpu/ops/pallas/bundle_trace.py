@@ -49,11 +49,33 @@ from threedgrut_tpu.ops.pallas.tile_raster import (
     PREFETCH,
     _N_DBUF,
     _alpha_from_raw,
+    _apply_swaps,
+    _oddeven_sort,
     _pair_quantities,
     _prefix_prod,
     _should_interpret,
     _tri_matmuls,
 )
+
+
+def _t_excl_resorted(alpha, one_m, hit_t, sorted_passes):
+    """Exclusive transmittance product in PER-RAY order, returned in the
+    original (bundle-depth) row order, plus the recorded swap masks.
+
+    The per-ray windowed re-sort of the tile kernel (tile_raster.py
+    _t_before_excl) adapted to bundles: every row is in play (no tile
+    [start, end) range), so rows that composite nothing (alpha == 0: masked
+    candidates, rejected hits) are pinned at +inf so they consume no
+    transposition passes. Mirrors the reference's per-ray k=16 insertion
+    buffer (referenceOptix.cu:210-248) with a 128-wide window and
+    `sorted_passes` bounded displacement."""
+    if not sorted_passes:
+        excl, _ = _prefix_prod(one_m)
+        return excl, None
+    key = jnp.where(alpha > 0.0, hit_t, jnp.float32(3.4e38))
+    (one_m_s,), masks = _oddeven_sort(key, [one_m], sorted_passes)
+    excl_s, _ = _prefix_prod(one_m_s)
+    return _apply_swaps(masks, excl_s, sorted_passes, inverse=True), masks
 
 ROW64 = 64
 _N_WBUF = 4
@@ -119,7 +141,7 @@ def _grt_gates(q):
 
 def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
                     sh_degree, wpb, min_transmittance, min_response,
-                    min_alpha, max_alpha):
+                    min_alpha, max_alpha, sorted_passes=0):
     b = pl.program_id(0)
     w0 = b * wpb
     w1 = w0 + wpb
@@ -156,9 +178,10 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
                                    min_response, min_alpha, max_alpha)
         # Prefix PRODUCT of (1 - alpha) (tile_raster._prefix_prod): replaces
         # the former log1p/cumsum/exp round trip — two transcendental
-        # [CHUNK, PIX] passes per window — with shifted multiplies.
+        # [CHUNK, PIX] passes per window — with shifted multiplies. With
+        # sorted_passes > 0 the product runs in per-ray re-sorted order.
         one_m = 1.0 - alpha
-        excl, _ = _prefix_prod(one_m)
+        excl, _ = _t_excl_resorted(alpha, one_m, q["hit_t"], sorted_passes)
         t_carry = out_ref[0, 5, :][None, :]
         t_before = t_carry * excl
         live = t_before > min_transmittance
@@ -195,7 +218,7 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
 def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
                      gdata_hbm, dbuf, wbuf, sem, wsem, wstate, *, degree,
                      sh_degree, wpb, min_transmittance, min_response,
-                     min_alpha, max_alpha):
+                     min_alpha, max_alpha, sorted_passes=0):
     """Front-to-back re-walk with the suffix-residual trick (tile_raster
     _backward_kernel); SH-coefficient gradients are basis-contracted MXU
     matmuls. Gradient windows are bundle-exclusive (no boundary sharing),
@@ -256,7 +279,8 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
         alpha, accept = _alpha_from_raw(q, true_mask & _grt_gates(q),
                                         min_response, min_alpha, max_alpha)
         one_m = 1.0 - alpha
-        excl, _ = _prefix_prod(one_m)
+        excl, masks = _t_excl_resorted(alpha, one_m, q["hit_t"],
+                                       sorted_passes)
         t_before = t_carry_v[None, :] * excl
         live = t_before > min_transmittance
         w_ = jnp.where(live, alpha * t_before, 0.0)
@@ -267,8 +291,17 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
               + colc[2] * dC[2, :][None, :] + q["hit_t"] * dD + dO)
 
         wq = w_ * qj
-        incl = _tri_matmuls(wq, strict_lower=False)
-        suffix = a_tot - prefix_v[None, :] - incl
+        if sorted_passes:
+            # Suffix over COMPOSITING (per-ray re-sorted) order: route wq
+            # through the recorded network, prefix there, route back.
+            wq_s = _apply_swaps(masks, wq, sorted_passes, inverse=False)
+            incl_s = _tri_matmuls(wq_s, strict_lower=False)
+            suffix_s = a_tot - prefix_v[None, :] - incl_s
+            suffix = _apply_swaps(masks, suffix_s, sorted_passes,
+                                  inverse=True)
+        else:
+            incl = _tri_matmuls(wq, strict_lower=False)
+            suffix = a_tot - prefix_v[None, :] - incl
 
         inv_one_m = 1.0 / jnp.maximum(one_m, 1e-6)
         d_alpha = jnp.where(
@@ -363,7 +396,7 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
             wait_write(s)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def bundle_composite(
     data: jnp.ndarray,          # [nb * C, ROW64] packed candidate rows
     rays: jnp.ndarray,          # [nb, 8, 256]
@@ -373,6 +406,7 @@ def bundle_composite(
     min_response: float = C.MIN_KERNEL_RESPONSE,
     min_alpha: float = C.MIN_ALPHA,
     max_alpha: float = C.MAX_ALPHA,
+    sorted_passes: int = 0,
 ) -> jnp.ndarray:
     """Returns [nb, 8, 256] forward buffer (see module docstring).
 
@@ -380,9 +414,12 @@ def bundle_composite(
     CHUNK; candidates must be depth-ascending along the bundle axis with
     masked slots carrying opacity 0. No gradient flows to `rays` (ray
     positions are inputs of the caller's raygen, differentiated there when
-    needed via the jnp path)."""
+    needed via the jnp path). `sorted_passes` > 0 composites each ray in
+    per-ray re-sorted hit order (odd-even transposition bounded at that many
+    positions per 128-candidate window — the fast-path analogue of the
+    reference's per-ray sorted k=16 hit buffer)."""
     return _forward(data, rays, degree, sh_degree, min_transmittance,
-                    min_response, min_alpha, max_alpha)
+                    min_response, min_alpha, max_alpha, sorted_passes)
 
 
 def _to_windows(data: jnp.ndarray) -> jnp.ndarray:
@@ -392,7 +429,7 @@ def _to_windows(data: jnp.ndarray) -> jnp.ndarray:
 
 
 def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
-             min_alpha, max_alpha):
+             min_alpha, max_alpha, sorted_passes=0):
     nb = rays.shape[0]
     wdata = _to_windows(data)
     wpb = wdata.shape[0] // nb
@@ -400,7 +437,8 @@ def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
     kern = functools.partial(
         _forward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
         min_transmittance=min_transmittance, min_response=min_response,
-        min_alpha=min_alpha, max_alpha=max_alpha)
+        min_alpha=min_alpha, max_alpha=max_alpha,
+        sorted_passes=sorted_passes)
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -423,14 +461,14 @@ def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
 
 
 def _fwd_rule(data, rays, degree, sh_degree, min_transmittance, min_response,
-              min_alpha, max_alpha):
+              min_alpha, max_alpha, sorted_passes=0):
     out = _forward(data, rays, degree, sh_degree, min_transmittance,
-                   min_response, min_alpha, max_alpha)
+                   min_response, min_alpha, max_alpha, sorted_passes)
     return out, (data, rays, out)
 
 
 def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
-              max_alpha, res, g_out):
+              max_alpha, sorted_passes, res, g_out):
     data, rays, out = res
     nb = rays.shape[0]
     wdata = _to_windows(data)
@@ -438,7 +476,8 @@ def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
     kern = functools.partial(
         _backward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
         min_transmittance=min_transmittance, min_response=min_response,
-        min_alpha=min_alpha, max_alpha=max_alpha)
+        min_alpha=min_alpha, max_alpha=max_alpha,
+        sorted_passes=sorted_passes)
     zeros = jnp.zeros(wdata.shape, jnp.float32)
     g_windows = pl.pallas_call(
         kern,

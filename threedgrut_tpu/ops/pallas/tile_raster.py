@@ -311,10 +311,28 @@ def _t_before_excl(alpha, one_m, q, sorted_passes, row_idx=None, start=None,
     return _apply_swaps(masks, excl_s, sorted_passes, inverse=True), masks
 
 
-def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
-                    dbuf, sem, *, degree, min_transmittance, min_response,
+_N_WBUF = 4   # write-buffer ring depth (overlaps write DMAs)
+
+
+def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
+                    *rest, degree, min_transmittance, min_response,
                     min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
-                    aux_outputs=True):
+                    aux_outputs=True, emit_flags=False):
+    """With `emit_flags`, a second [W, 8, CHUNK] output carries the per-slot
+    contributed bit in row 0 (w_ > 0 for any pixel of the owning tile —
+    reference semantics: the hit-accepted particle flag,
+    referenceOptix.cu:158-161 / gutProjector.cuh:275), written exactly once
+    per window through a ring like the backward kernel's (boundary windows
+    shared by consecutive tiles blend additively: slot ranges are
+    disjoint). The donor output is pre-zeroed, so windows past a tile's
+    early exit correctly stay 0."""
+    if emit_flags:
+        # Refs arrive (ins..., outs..., scratch...): the pre-zeroed flags
+        # donor input is aliased into the flags output and only written
+        # through the alias.
+        _zeros_hbm, out_ref, flags_hbm, dbuf, fbuf, sem, fsem, fstate = rest
+    else:
+        out_ref, dbuf, sem = rest
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
@@ -342,6 +360,23 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         def _(k=k):
             dma(g0 + k, (g0 + k) % _N_DBUF).start()
 
+    if emit_flags:
+        @pl.when(t == 0)
+        def _():
+            fstate[0] = -1
+            fstate[1] = 0
+            for fs in range(_N_WBUF):
+                fstate[2 + fs] = -1
+
+        def wait_flag_write(fs):
+            @pl.when(fstate[2 + fs] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    fbuf.at[fs],
+                    flags_hbm.at[pl.ds(fstate[2 + fs] * GROUP, GROUP)],
+                    fsem.at[fs]).wait()
+            fstate[2 + fs] = -1
+
     def body(state):
         g, _ = state
         slot = g % _N_DBUF
@@ -351,6 +386,7 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         def _():
             dma(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
 
+        flag_blocks = []
         for j in range(GROUP):
             w = g * GROUP + j
             S = dbuf[slot, j]
@@ -394,6 +430,30 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
             t_after = jnp.where(live, t_before * one_m, jnp.float32(3.4e38))
             out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0),
                                            t_carry[0])
+            if emit_flags:
+                contrib = jnp.max((w_ > 0.0).astype(jnp.float32), axis=1,
+                                  keepdims=True).T           # [1, CHUNK]
+                flag_blocks.append(jnp.concatenate(
+                    [contrib, jnp.zeros((7, CHUNK), jnp.float32)], axis=0))
+
+        if emit_flags:
+            Fs = jnp.stack(flag_blocks, axis=0)    # [GROUP, 8, CHUNK]
+            k = fstate[1]
+            prev_slot = (k + _N_WBUF - 1) % _N_WBUF
+            same = (g == fstate[0]) & (k > 0)
+            Fs = Fs + jnp.where(same, fbuf[prev_slot], 0.0)
+            fs = k % _N_WBUF
+            wait_flag_write(fs)
+            @pl.when(same & (prev_slot != fs))
+            def _():
+                wait_flag_write(prev_slot)
+            fbuf[fs] = Fs
+            pltpu.make_async_copy(fbuf.at[fs],
+                                  flags_hbm.at[pl.ds(g * GROUP, GROUP)],
+                                  fsem.at[fs]).start()
+            fstate[2 + fs] = g
+            fstate[0] = g
+            fstate[1] = k + 1
         alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
         return g + 1, alive
 
@@ -412,8 +472,11 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, out_ref,
         def _(k=k):
             dma(gf + k, (gf + k) % _N_DBUF).wait()
 
-
-_N_WBUF = 4   # gradient write-buffer ring depth (overlaps write DMAs)
+    if emit_flags:
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            for fs in range(_N_WBUF):
+                wait_flag_write(fs)
 
 
 def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
@@ -739,38 +802,69 @@ def tile_composite(
 
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
-             sorted_passes=0, has_t_max=True, aux_outputs=True):
+             sorted_passes=0, has_t_max=True, aux_outputs=True,
+             emit_flags=False):
+    """With emit_flags, returns (out, flags_slot [capP] f32 0/1 per-slot
+    contributed bit); the flags leg has NO vjp (eval-only callers)."""
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
-        aux_outputs=aux_outputs)
+        aux_outputs=aux_outputs, emit_flags=emit_flags)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
+        pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32)
+    scratch = [
+        pltpu.VMEM((_N_DBUF, GROUP, ROW_F, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((_N_DBUF,)),
+    ]
+    assert wdata.shape[0] % GROUP == 0, (wdata.shape, GROUP)
+    if not emit_flags:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(num_tiles,), in_specs=in_specs,
+            out_specs=out_specs, scratch_shapes=scratch)
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_should_interpret(),
+        )(tile_starts, tile_ends, wdata, rays)
+
+    fshape = jax.ShapeDtypeStruct(wdata.shape[:1] + (8, CHUNK), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
-            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        num_scalar_prefetch=2, grid=(num_tiles,),
+        in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],  # donor
+        out_specs=[out_specs, pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((_N_DBUF, GROUP, ROW_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_DBUF,)),
+            scratch[0],
+            pltpu.VMEM((_N_WBUF, GROUP, 8, CHUNK), jnp.float32),
+            scratch[1],
+            pltpu.SemaphoreType.DMA((_N_WBUF,)),
+            pltpu.SMEM((2 + _N_WBUF,), jnp.int32),
         ],
     )
-    assert wdata.shape[0] % GROUP == 0, (wdata.shape, GROUP)
-    return pl.pallas_call(
+    zeros = jnp.zeros(fshape.shape, jnp.float32)
+    out, flags = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, PIX), jnp.float32),
+        out_shape=[out_shape, fshape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        # Donor index counts after the 2 scalar-prefetch operands:
+        # data, rays, zeros -> 4; aliased into output 1 (flags).
+        input_output_aliases={4: 1},
         interpret=_should_interpret(),
-    )(tile_starts, tile_ends, wdata, rays)
+    )(tile_starts, tile_ends, wdata, rays, zeros)
+    return out, flags[:, 0, :].reshape(-1)
 
 
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,

@@ -160,9 +160,23 @@ def _gr_bwd(res, g):
     keys, order = jax.lax.sort(
         (idx, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
     g_sorted = g[order]
-    cum = _blocked_cumsum(g_sorted)
     ends = jnp.searchsorted(keys, jnp.arange(n, dtype=jnp.int32),
                             side="right").astype(jnp.int32)
+    # Contiguous per-index segments reduce in one Pallas pass (the same
+    # segment_sum_rows as sorted_gather's backward) — replaces the
+    # [m, F]-cumsum + boundary gather (~2x cheaper at the 3DGRT bench's
+    # 2.1M x 64 shape).
+    import os
+    from threedgrut_tpu.ops.pallas import tile_raster
+    if (m % 256 == 0 and g.shape[1] % 8 == 0
+            and not tile_raster._should_interpret()
+            and os.environ.get("THREEDGRUT_SEGSUM", "pallas") != "xla"):
+        from threedgrut_tpu.ops.pallas.segment_sum import segment_sum_rows
+        ne_pad = -(-n // 256) * 256
+        e_pad = ends if ne_pad == n else jnp.concatenate(
+            [ends, jnp.broadcast_to(ends[-1:], (ne_pad - n,))])
+        return segment_sum_rows(g_sorted.T, e_pad)[:, :n].T, None
+    cum = _blocked_cumsum(g_sorted)
     top = jnp.where((ends > 0)[:, None], cum[jnp.clip(ends - 1, 0, m - 1)],
                     0.0)
     prev = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)

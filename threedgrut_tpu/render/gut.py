@@ -168,6 +168,7 @@ def render(
     aux_gradients: bool = True,
     aux_outputs: bool = True,
     low_precision_grads: bool = False,
+    hit_visibility: bool = False,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -184,6 +185,12 @@ def render(
     `low_precision_grads=True` rounds the per-slot backward cotangent reorder
     to bf16 (per-particle sums stay f32) — ~2x faster on the dominant unsort
     stage; keep False when exact gradients matter (parity checks).
+    `hit_visibility=True` makes `outputs.visibility` HIT-based: the kernel
+    emits a per-slot contributed bit (w > 0 at some pixel — reference
+    referenceOptix.cu:158-161 / gutProjector.cuh:275) reduced per particle,
+    so occluded/culled particles report invisible. EVAL-ONLY: this leg has
+    no VJP (training derives the same bit from nonzero gradients for free,
+    trainer.py). Costs one extra per-slot write + a [cap] 2-op sort.
     """
     w, h = resolution
     proj, binning, data_sorted, tile_grid = prepare(
@@ -203,11 +210,19 @@ def render(
     rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max,
                              shutter=shutter, jitter=ray_jitter)
 
-    out = tile_raster.tile_composite(
-        data_sorted, binning.tile_starts, binning.tile_ends, rays,
-        kernel_degree, min_transmittance, sorted_passes=sorted_passes,
-        has_t_max=t_max is not None, aux_grads=aux_gradients,
-        aux_outputs=aux_outputs, lowprec_grads=low_precision_grads)
+    if hit_visibility:
+        out, flags_slot = tile_raster._forward(
+            jax.lax.stop_gradient(data_sorted), binning.tile_starts,
+            binning.tile_ends, rays, kernel_degree, min_transmittance,
+            C.MIN_KERNEL_RESPONSE, C.MIN_ALPHA, C.MAX_ALPHA,
+            sorted_passes=sorted_passes, has_t_max=t_max is not None,
+            aux_outputs=aux_outputs, emit_flags=True)
+    else:
+        out = tile_raster.tile_composite(
+            data_sorted, binning.tile_starts, binning.tile_ends, rays,
+            kernel_degree, min_transmittance, sorted_passes=sorted_passes,
+            has_t_max=t_max is not None, aux_grads=aux_gradients,
+            aux_outputs=aux_outputs, lowprec_grads=low_precision_grads)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]
@@ -219,8 +234,20 @@ def render(
 
     # Visibility (for SelectiveAdam / densification): particle projected to a
     # renderable splat this frame (reference sets it in the projector,
-    # gutProjector.cuh:275).
+    # gutProjector.cuh:275). With hit_visibility, refined by the kernel's
+    # contributed bit: per-slot flags grouped by particle id (stable sort,
+    # contiguous [ends[p-1], ends[p]) segments — sorted_gather.py layout)
+    # and any-reduced.
     visibility = proj.valid & (proj.n_tiles > 0)
+    if hit_visibility:
+        cap = binning.sorted_particle_idx.shape[0]
+        _, flg = jax.lax.sort(
+            (binning.sorted_particle_idx, flags_slot), num_keys=1)
+        cum = jnp.cumsum(flg)
+        e = jnp.minimum(binning.particle_ends, cap)
+        top = jnp.where(e > 0, cum[jnp.clip(e - 1, 0, cap - 1)], 0.0)
+        prev = jnp.concatenate([jnp.zeros((1,), cum.dtype), top[:-1]])
+        visibility = visibility & ((top - prev) > 0.0)
 
     outputs = RenderOutputs(
         rgb=rgb, opacity=opacity, depth=depth,

@@ -85,7 +85,11 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 # depth/hit-count forward math (eval steps keep them for
                 # the logged depth/hit panels).
                 aux_gradients=False, aux_outputs=not train,
-                low_precision_grads=cfg.render.low_precision_grads and train)
+                low_precision_grads=cfg.render.low_precision_grads and train,
+                # Eval reports the kernel's hit-based contributed bit
+                # directly; train derives it from nonzero gradients below
+                # (free) and must keep the differentiable path.
+                hit_visibility=not train)
         # Random background only during training (reference background.py:
         # 62-102 gates the per-pixel random color on model.training).
         pred = background.compose(out.rgb, out.opacity,

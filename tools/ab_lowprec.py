@@ -23,10 +23,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def run_leg(lowprec: bool, steps: int):
+def run_leg(lowprec: bool, steps: int, seed: int = 0):
     from tools.tpu_train_scale import build_trainer
     tr = build_trainer()
     tr.cfg.render.low_precision_grads = lowprec
+    if seed:
+        # Seed-noise control leg: same precision, different shuffling/keys —
+        # calibrates how much of the f32-vs-bf16 delta is run-to-run noise.
+        import jax
+        tr.cfg.train.seed = seed
+        tr.key = jax.random.PRNGKey(seed)
     # Same schedule/seed for both legs; densification on so gradient noise
     # can compound through clone/split decisions.
     t0 = time.time()
@@ -44,6 +50,15 @@ def run_leg(lowprec: bool, steps: int):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    if len(sys.argv) > 2 and sys.argv[2] == "noise":
+        # Control: f32 at a different seed — prints one leg for comparison
+        # against the seed-0 f32 leg in runs/ab_lowprec.json.
+        leg = run_leg(False, steps, seed=1)
+        leg["seed"] = 1
+        with open("/root/repo/runs/ab_lowprec_noise.json", "w") as f:
+            json.dump(leg, f, indent=2)
+            f.write("\n")
+        return
     legs = [run_leg(False, steps), run_leg(True, steps)]
     delta = legs[0]["val_psnr"] - legs[1]["val_psnr"]
     out = dict(legs=legs, val_psnr_delta_f32_minus_bf16=round(delta, 4))

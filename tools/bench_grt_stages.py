@@ -64,15 +64,22 @@ def main(stages):
     want = (lambda x: not stages or x in stages)
 
     radius = grt.bounding_radius(s, opa, C.KERNEL_DEGREE_3DGRT)
-    bundles = jax.jit(grt.make_bundles, static_argnums=1)(o, d, 256)
+    bundles = jax.jit(lambda oo, dd: grt.make_bundles(oo, dd, 256))(o, d)
 
     @jax.jit
     def do_cull(p, r, b):
         return grt.bundle_candidates(p, r, opa >= C.MIN_ALPHA, b, cand)
 
-    cand_idx, cand_mask, ovf, vis = do_cull(pos, radius, bundles)
+    @jax.jit
+    def do_cull2(p, r):
+        return grt.bundle_candidates_twolevel(
+            p, r, opa >= C.MIN_ALPHA, o, d, 256, cand,
+            super_capacity=11264)
+
+    cand_idx, cand_mask, ovf, vis = do_cull2(pos, radius)
     if want("cull"):
-        timed("cone cull + top_k compact", do_cull, pos, radius, bundles)
+        timed("cone cull single-level (old)", do_cull, pos, radius, bundles)
+        timed("cone cull two-level", do_cull2, pos, radius)
         counts = np.asarray(jnp.sum(cand_mask.astype(jnp.int32), axis=1))
         print(f"    candidates/bundle: mean {counts.mean():.0f} "
               f"max {counts.max()} cap {cand} overflow={bool(ovf)}")
@@ -127,6 +134,17 @@ def main(stages):
                 return jnp.sum(o_[:, 0:4, :])
             return jax.grad(f)(dd)
         timed("bundle fwd+bwd", do_fwd_bwd, data, rays)
+
+        @jax.jit
+        def do_fwd_bwd_sorted(dd, r):
+            def f(dd_):
+                o_ = bundle_trace.bundle_composite(
+                    dd_, r, C.KERNEL_DEGREE_3DGRT, 3,
+                    C.MIN_TRANSMITTANCE_3DGRT,
+                    sorted_passes=C.GRT_SORTED_PASSES)
+                return jnp.sum(o_[:, 0:4, :])
+            return jax.grad(f)(dd)
+        timed("bundle fwd+bwd sorted16", do_fwd_bwd_sorted, data, rays)
 
     print("done")
 
