@@ -64,6 +64,11 @@ def main():
     cfg = Config()
     cfg.render.isect_capacity = cap
     cfg.model.background_color = "black"
+    # BENCH_SORTED=16 measures the sorted ("k-buffer") preset's cost at the
+    # same scene (config preset_sorted; ref configs/paper/3dgut/
+    # base_sorted.yaml) — the RESULTS.md sorted-mode datapoint.
+    sorted_passes = int(_os.environ.get("BENCH_SORTED", "0"))
+    cfg.render.k_buffer_passes = sorted_passes
     cfg_key = _register_cfg(cfg)
 
     cam = _example_camera(res)
@@ -123,6 +128,7 @@ def main():
         "iters": iters,
         "isect_capacity": cap,
         "isect_overflow": overflow,
+        "sorted_passes": sorted_passes,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))
 

@@ -91,3 +91,38 @@ def test_segment_sum_rows():
     out2 = np.asarray(segment_sum_rows(jnp.asarray(g.T.copy()),
                                        jnp.asarray(ends2)))
     assert np.isfinite(out2).all()
+
+
+def test_cull_masks_pallas_matches_xla():
+    """cull_masks_pallas (interpret mode here) must be bit-identical to the
+    XLA form: same counts, same 24/24/16 mask words — including dead
+    particles (n_tiles=0 with nonzero bbox), non-maskable bboxes (> 8x8),
+    and culling-heavy conics. _CM_BLK | n required by the dispatch."""
+    from threedgrut_tpu.ops.pallas import expand as ex
+
+    n = ex._CM_BLK * 2
+    rng = np.random.default_rng(17)
+    tmin = rng.integers(0, 40, (n, 2)).astype(np.int32)
+    w = rng.integers(1, 12, (n,))          # some > 8 -> non-maskable
+    h = rng.integers(1, 12, (n,))
+    tmax = np.stack([tmin[:, 0] + w, tmin[:, 1] + h], -1).astype(np.int32)
+    ntiles = (w * h).astype(np.int32)
+    ntiles[rng.random(n) < 0.3] = 0        # dead
+    conic = np.abs(rng.normal(0.05, 0.03, (n, 3))).astype(np.float32)
+    conic[:, 1] *= 0.2
+    center = rng.uniform(0, 40 * 16.0, (n, 2)).astype(np.float32)
+    max_power = rng.uniform(0.2, 4.0, n).astype(np.float32)
+
+    args = (jnp.asarray(tmin), jnp.asarray(tmax), jnp.asarray(ntiles),
+            jnp.asarray(conic), jnp.asarray(center), jnp.asarray(max_power))
+    got = ex.cull_masks_pallas(*args)
+    import os
+    os.environ["THREEDGRUT_CULLMASK"] = "xla"
+    try:
+        want = ex.cull_masks(*args, True)
+    finally:
+        del os.environ["THREEDGRUT_CULLMASK"]
+    for name, a, b in zip(("counts", "m0", "m1", "m2"), got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    # The scene must exercise culling (otherwise vacuous).
+    assert int(np.asarray(want[0]).sum()) < int(ntiles.sum())

@@ -102,10 +102,15 @@ def cull_masks(tile_min, tile_max, n_tiles, conic, center, max_power,
     disagree in the last bit without harm — a counted-but-retested-out cell
     just gets the sentinel tile (same as the legacy path)."""
     from threedgrut_tpu.ops.projection import tile_min_power_response
+    import os
     n = n_tiles.shape[0]
     z = jnp.zeros((n,), jnp.int32)
     if not tile_culling:
         return n_tiles.astype(jnp.int32), z, z, z
+    if (n % _CM_BLK == 0 and not tile_raster._should_interpret()
+            and os.environ.get("THREEDGRUT_CULLMASK", "pallas") != "xla"):
+        return cull_masks_pallas(tile_min, tile_max, n_tiles, conic,
+                                 center, max_power)
     bw = (tile_max[:, 0] - tile_min[:, 0]).astype(jnp.int32)
     bh = (tile_max[:, 1] - tile_min[:, 1]).astype(jnp.int32)
     maskable = (bw <= 8) & (bh <= 8)
@@ -282,3 +287,124 @@ def expand_keys(
         interpret=tile_raster._should_interpret(),
     )(pa_block, attrs_rank, attrs_rank)
     return (out[0].astype(jnp.int32), out[1].astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Pallas count-time cull-mask pass.
+#
+# The XLA form of cull_masks materializes [N, 64] f32 power/txy temps in HBM
+# (~9 ms at N=1M just in bandwidth); this kernel evaluates the same 64-cell
+# power test block-by-block in VMEM and emits only the 4 result channels.
+# Layout per the tile_raster channel-major lesson: inputs [11, N], outputs
+# [4, N] (counts, m0, m1, m2 as exact small ints in f32).
+
+_CM_BLK = 2048   # particles per grid step (lanes)
+
+
+def _cull_masks_kernel(in_ref, out_ref):
+    tminx = in_ref[0, :][None, :]
+    tminy = in_ref[1, :][None, :]
+    bw = in_ref[2, :][None, :]
+    bh = in_ref[3, :][None, :]
+    ca = in_ref[4, :][None, :]
+    cb = in_ref[5, :][None, :]
+    cc = in_ref[6, :][None, :]
+    mx = in_ref[7, :][None, :]
+    my = in_ref[8, :][None, :]
+    maxpow = in_ref[9, :][None, :]
+    ntiles = in_ref[10, :][None, :]
+
+    tsx, tsy = float(C.TILE_X), float(C.TILE_Y)
+    blk = tminx.shape[1]
+    # dx rides the sublane dim: [8, blk] per dy row. (Mosaic tpu.iota is
+    # integer-only; build in i32 and convert.)
+    ox = jax.lax.broadcasted_iota(jnp.int32, (8, blk), 0).astype(jnp.float32)
+    rcp_x = 1.0 / (tsx * tsx * ca)
+    rcp_y = 1.0 / (tsy * tsy * cc)
+
+    cnt = jnp.zeros((1, blk), jnp.float32)
+    w0 = jnp.zeros((1, blk), jnp.float32)
+    w1 = jnp.zeros((1, blk), jnp.float32)
+    w2 = jnp.zeros((1, blk), jnp.float32)
+    for dy in range(8):
+        tx = tminx + ox
+        ty = tminy + jnp.float32(dy)
+        tmin_px_x, tmin_px_y = tsx * tx, tsy * ty
+        tmax_px_x, tmax_px_y = tmin_px_x + tsx, tmin_px_y + tsy
+        la_x = (tmin_px_x - mx > 0.0).astype(jnp.float32)
+        la_y = (tmin_px_y - my > 0.0).astype(jnp.float32)
+        nir_x = la_x + (mx > tmax_px_x).astype(jnp.float32)
+        nir_y = la_y + (my > tmax_px_y).astype(jnp.float32)
+        outside = (nir_x + nir_y) > 0.0
+        px = tmax_px_x + (tmin_px_x - tmax_px_x) * la_x
+        py = tmax_px_y + (tmin_px_y - tmax_px_y) * la_y
+        dxy_x = jnp.where(tmin_px_x - mx >= 0.0, tsx, -tsx)
+        dxy_y = jnp.where(tmin_px_y - my >= 0.0, tsy, -tsy)
+        dfx, dfy = mx - px, my - py
+        t_x = nir_y * jnp.clip(
+            (dxy_x * ca * dfx + dxy_x * cb * dfy) * rcp_x, 0.0, 1.0)
+        t_y = nir_x * jnp.clip(
+            (dxy_y * cb * dfx + dxy_y * cc * dfy) * rcp_y, 0.0, 1.0)
+        dx_ = mx - (px + t_x * dxy_x)
+        dy_ = my - (py + t_y * dxy_y)
+        power = 0.5 * (ca * dx_ * dx_ + cc * dy_ * dy_) + cb * dx_ * dy_
+        power = jnp.where(outside, power, 0.0)
+
+        inside = (ox < bw) & (jnp.float32(dy) < bh)
+        ok = inside & (power < maxpow)
+        cnt = cnt + jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
+        # 64-bit survival mask as 24+24+16-bit words: cell j = dy*bw + dx.
+        j = (jnp.float32(dy) * bw + ox).astype(jnp.int32)
+        oki = ok.astype(jnp.int32)
+        for wi, (lo, wid) in enumerate(((0, 24), (24, 24), (48, 16))):
+            sh = jnp.clip(j - lo, 0, 31)
+            bit = jnp.where((j >= lo) & (j < lo + wid),
+                            oki << sh, 0).astype(jnp.float32)
+            add = jnp.sum(bit, axis=0, keepdims=True)
+            if wi == 0:
+                w0 = w0 + add
+            elif wi == 1:
+                w1 = w1 + add
+            else:
+                w2 = w2 + add
+
+    live = ntiles > 0.0
+    maskable = (bw <= 8.0) & (bh <= 8.0)
+    keep = live & maskable
+    counts = jnp.where(live, jnp.where(maskable, cnt, ntiles), 0.0)
+    out_ref[...] = jnp.concatenate(
+        [counts, jnp.where(keep, w0, 0.0), jnp.where(keep, w1, 0.0),
+         jnp.where(keep, w2, 0.0)], axis=0)
+
+
+def cull_masks_pallas(tile_min, tile_max, n_tiles, conic, center, max_power):
+    """Pallas path of cull_masks (TPU, N % _CM_BLK == 0). Bit-identical
+    contract with the XLA form: same power test, same word packing.
+
+    Binning is non-differentiable by design (integer counts/masks; the XLA
+    form's int outputs already block gradients) — stop_gradient here keeps
+    jax.grad of a train step from trying to linearize the pallas_call."""
+    n = n_tiles.shape[0]
+    assert n % _CM_BLK == 0, n
+    (tile_min, tile_max, n_tiles, conic, center, max_power) = (
+        jax.lax.stop_gradient(
+            (tile_min, tile_max, n_tiles, conic, center, max_power)))
+    chans = jnp.concatenate([
+        tile_min.T.astype(jnp.float32),                                # 0:2
+        (tile_max[:, 0] - tile_min[:, 0])[None, :].astype(jnp.float32),
+        (tile_max[:, 1] - tile_min[:, 1])[None, :].astype(jnp.float32),
+        conic.T, center.T, max_power[None, :],
+        n_tiles[None, :].astype(jnp.float32),
+    ], axis=0)                                                         # [11, N]
+    out = pl.pallas_call(
+        _cull_masks_kernel,
+        grid=(n // _CM_BLK,),
+        in_specs=[pl.BlockSpec((11, _CM_BLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((4, _CM_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=tile_raster._should_interpret(),
+    )(chans)
+    return (out[0].astype(jnp.int32), out[1].astype(jnp.int32),
+            out[2].astype(jnp.int32), out[3].astype(jnp.int32))

@@ -155,6 +155,76 @@ def bundle_candidates(
     return cand_idx, cand_mask, overflow, visibility
 
 
+def _morton_16(u: jnp.ndarray) -> jnp.ndarray:
+    """Interleave the low 16 bits of u with zeros (part1by1)."""
+    u = (u | (u << 8)) & 0x00FF00FF
+    u = (u | (u << 4)) & 0x0F0F0F0F
+    u = (u | (u << 2)) & 0x33333333
+    u = (u | (u << 1)) & 0x55555555
+    return u
+
+
+def bundle_morton_order(bundles: Bundles) -> jnp.ndarray:
+    """Permutation grouping direction-adjacent bundles: Morton code over
+    the bundle mean directions projected onto the plane orthogonal to the
+    global mean direction. Consecutive `super_mult` bundles of the permuted
+    order then form COMPACT super cones (a camera's row-major tile order
+    would otherwise group a long thin slab of tiles per super, whose cone
+    covers a large fraction of the scene — measured 25.7k of 100k particles
+    at the bench scene vs ~6k for Morton 4x4 blocks)."""
+    d = bundles.direction
+    dm = jnp.mean(d, axis=0)
+    dm = dm / jnp.maximum(jnp.linalg.norm(dm), 1e-12)
+    # Basis orthogonal to dm: cross with the least-aligned coordinate axis.
+    a = jnp.where(jnp.abs(dm[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(dm, a)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(dm, e1)
+    u = d @ e1
+    v = d @ e2
+    def quant(x):
+        lo, hi = jnp.min(x), jnp.max(x)
+        q = (x - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0
+        return q.astype(jnp.int32)
+    code = _morton_16(quant(u)) | (_morton_16(quant(v)) << 1)
+    _, perm = jax.lax.sort(
+        (code, jnp.arange(code.shape[0], dtype=jnp.int32)), num_keys=1)
+    return perm
+
+
+def make_super_bundles(member: Bundles, perm: jnp.ndarray,
+                       super_mult: int) -> Bundles:
+    """Aggregate permuted member-bundle cones into super cones that bound
+    every member ray: base covers member origin offsets + member bases;
+    spread uses the tangent-addition bound tan(theta+phi) with the member
+    axis deviation phi (clamped conservatively; members whose deviation
+    makes the bound meaningless mark the super incoherent -> accept-all)."""
+    nb = member.origin.shape[0]
+    ns = nb // super_mult
+    o = member.origin[perm].reshape(ns, super_mult, 3)
+    d = member.direction[perm].reshape(ns, super_mult, 3)
+    base = member.base_radius[perm].reshape(ns, super_mult)
+    tan = member.tan_spread[perm].reshape(ns, super_mult)
+    coh = member.coherent[perm].reshape(ns, super_mult)
+
+    os_ = jnp.mean(o, axis=1)
+    ds = jnp.mean(d, axis=1)
+    ds = ds / jnp.maximum(jnp.linalg.norm(ds, axis=-1, keepdims=True), 1e-12)
+    base_s = jnp.max(jnp.linalg.norm(o - os_[:, None], axis=-1) + base,
+                     axis=1)
+    cosphi = jnp.clip(jnp.einsum("nmi,ni->nm", d, ds), _MIN_BUNDLE_COS, 1.0)
+    tanphi = jnp.sqrt(jnp.clip(1.0 - cosphi * cosphi, 0.0, 1.0)) / cosphi
+    denom = 1.0 - tan * tanphi
+    ok = (denom > 0.2) & (jnp.einsum("nmi,ni->nm", d, ds)
+                          > _MIN_BUNDLE_COS)
+    tan_s = jnp.max(jnp.where(ok, (tan + tanphi) / jnp.maximum(denom, 0.2),
+                              0.0), axis=1)
+    coherent = jnp.all(coh & ok, axis=1)
+    return Bundles(origin=os_, direction=ds, base_radius=base_s,
+                   tan_spread=tan_s, coherent=coherent)
+
+
 def bundle_candidates_twolevel(
     positions: jnp.ndarray,   # [N, 3]
     radius: jnp.ndarray,      # [N]
@@ -167,21 +237,20 @@ def bundle_candidates_twolevel(
     super_capacity: int = 8192,
 ):
     """Two-level culling (VERDICT r2 item 2 — the role of the reference's
-    BVH upper levels): SUPER-bundles of `super_mult` consecutive bundles
-    first compact the particle set to `super_capacity` candidates with one
-    coarse cone test + top_k, then each member bundle tests only its
-    super's list. At 100k particles / 1024 bundles this replaces a
+    BVH upper levels): SUPER-bundles of `super_mult` Morton-adjacent
+    bundles first compact the particle set to `super_capacity` candidates
+    with one coarse cone test + top_k, then each member bundle tests only
+    its super's list. At 100k particles / 1024 bundles this replaces a
     [1024, 100k] test + 1024 top_k(100k) (~166 ms) with a [64, 100k] +
-    [64, 16, 8192] pair of tests (~20-30 ms).
+    [64, 16, S] pair of tests (~15-30 ms).
 
-    Level-1 cones are built over the member bundles' rays, so they bound
-    every member cone: level-2 candidate sets equal the single-level path's
-    whenever the super list did not overflow (truncation keeps the NEAREST
-    candidates, same as the single-level overflow semantics; `overflow`
-    reports both levels). `visibility` is the level-1 (super) hit — a
-    slightly looser superset of the single-level bundle visibility, still a
-    superset of true hit visibility (the trainer ANDs it with the
-    nonzero-gradient hit test).
+    Level-1 cones bound every member ray (make_super_bundles), so level-2
+    candidate sets equal the single-level path's whenever the super list
+    did not overflow (truncation keeps the NEAREST candidates, same as the
+    single-level overflow semantics; `overflow` reports both levels).
+    `visibility` is the level-1 (super) hit — a slightly looser superset of
+    the single-level bundle visibility, still a superset of true hit
+    visibility (the trainer ANDs it with the nonzero-gradient hit test).
 
     Returns (cand_idx [nb, capacity] i32, cand_mask, overflow, visibility).
     """
@@ -192,7 +261,9 @@ def bundle_candidates_twolevel(
     assert ns * super_mult == nb
     s_cap = min(super_capacity, n)
 
-    sup = make_bundles(rays_o, rays_d, bundle_size * super_mult)
+    bundles = make_bundles(rays_o, rays_d, bundle_size)
+    perm = bundle_morton_order(bundles)
+    sup = make_super_bundles(bundles, perm, super_mult)
     hit1, t_ax1 = _cone_hit(positions, radius, valid, sup)    # [ns, N]
     counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
     overflow1 = jnp.any(counts1 > s_cap)
@@ -203,15 +274,14 @@ def bundle_candidates_twolevel(
     sup_mask = s_slot[None, :] < jnp.minimum(counts1, s_cap)[:, None]
     visibility = jnp.any(hit1, axis=0)
 
-    # Level 2: each bundle against its super's compacted list.
+    # Level 2: each (permuted) bundle against its super's compacted list.
     p_s = positions[sup_idx.reshape(-1)].reshape(ns, s_cap, 3)
     r_s = radius[sup_idx.reshape(-1)].reshape(ns, s_cap)
-    bundles = make_bundles(rays_o, rays_d, bundle_size)
-    ob = bundles.origin.reshape(ns, super_mult, 3)
-    db = bundles.direction.reshape(ns, super_mult, 3)
-    base = bundles.base_radius.reshape(ns, super_mult)
-    tan = bundles.tan_spread.reshape(ns, super_mult)
-    coh = bundles.coherent.reshape(ns, super_mult)
+    ob = bundles.origin[perm].reshape(ns, super_mult, 3)
+    db = bundles.direction[perm].reshape(ns, super_mult, 3)
+    base = bundles.base_radius[perm].reshape(ns, super_mult)
+    tan = bundles.tan_spread[perm].reshape(ns, super_mult)
+    coh = bundles.coherent[perm].reshape(ns, super_mult)
 
     v = p_s[:, None, :, :] - ob[:, :, None, :]           # [ns, m, S, 3]
     t_ax = jnp.einsum("nmsi,nmi->nms", v, db)
@@ -226,7 +296,8 @@ def bundle_candidates_twolevel(
     overflow = overflow1 | jnp.any(counts2 > capacity)
 
     # Depth-sort the super list per bundle (payload = global particle id)
-    # and keep the nearest `capacity`.
+    # and keep the nearest `capacity`; un-permute back to caller bundle
+    # order (rows were processed in Morton order).
     key2 = jnp.where(hit2, t_ax, jnp.inf)
     gid = jnp.broadcast_to(sup_idx[:, None, :], key2.shape)
     _, gid_sorted = jax.lax.sort((key2, gid), num_keys=1, dimension=-1)
@@ -234,6 +305,10 @@ def bundle_candidates_twolevel(
     slot = jnp.arange(capacity, dtype=jnp.int32)
     cand_mask = (slot[None, :]
                  < jnp.minimum(counts2, capacity).reshape(nb)[:, None])
+    iperm = jnp.zeros((nb,), jnp.int32).at[perm].set(
+        jnp.arange(nb, dtype=jnp.int32))
+    cand_idx = cand_idx[iperm]
+    cand_mask = cand_mask[iperm]
     return cand_idx, cand_mask, overflow, visibility
 
 

@@ -68,7 +68,9 @@ def main():
         def probe(pos, opa):
             radius = grt.bounding_radius(s, opa, C.KERNEL_DEGREE_3DGRT)
             valid = opa >= C.MIN_ALPHA
-            sup = grt.make_bundles(o, d, 256 * 16)
+            bundles = grt.make_bundles(o, d, 256)
+            perm = grt.bundle_morton_order(bundles)
+            sup = grt.make_super_bundles(bundles, perm, 16)
             hit1, _ = grt._cone_hit(pos, radius, valid, sup)
             c1 = jnp.max(jnp.sum(hit1.astype(jnp.int32), axis=1))
             ci, cm, ovf, _ = grt.bundle_candidates_twolevel(

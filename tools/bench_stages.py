@@ -143,6 +143,25 @@ def main(stages):
     if want("bwd"):
         timed("pallas fwd+bwd", do_fwd_bwd, data_sorted, binning, rays)
 
+    if want("strag"):
+        # Straggler census: the window walk of a tile only early-exits when
+        # ALL 256 pixels saturate. Pixels that never saturate (rays through
+        # gaps) force their tile to walk its full slot range. The min_t
+        # sweep bounds what per-pixel termination could save.
+        for mt in (1e-3, 1e-2, 3e-2):
+            @jax.jit
+            def do_fwd_mt(ds, b, r, mt=mt):
+                return tile_raster.tile_composite(
+                    ds, b.tile_starts, b.tile_ends, r, 2, mt,
+                    has_t_max=False)
+            timed(f"pallas fwd min_t={mt:g}", do_fwd_mt, data_sorted,
+                  binning, rays)
+        t_end = np.asarray(out_f[:, 5, :])
+        frac_pix = float((t_end > 1e-4).mean())
+        frac_tile = float((t_end > 1e-4).any(axis=1).mean())
+        print(f"    unsaturated pixels {frac_pix:.4f}, tiles w/ straggler "
+              f"{frac_tile:.4f}")
+
     if want("bwdlp"):
         @jax.jit
         def do_fwd_bwd_lp(ds, b, r):
