@@ -407,3 +407,47 @@ def test_surfel_normals():
                     return_normals=True)
     n = np.asarray(out.normal)
     assert np.isfinite(n).all()
+
+
+def test_tiered_capacity_matches_untiered():
+    """Tiered bundle capacity (grt._trace_bundle_kernel tier split) must be
+    a pure perf transform: identical outputs and gradients to the
+    single-tier path when no tier overflows, with the overflow flag
+    raised when a low-tier bundle's count exceeds its capacity."""
+    pos, quat, scale, opa, feats = random_scene(n=64, seed=19)
+    # 8 bundles: uneven loads — aim half the bundles away from the scene.
+    rng = np.random.default_rng(4)
+    os_, ds_ = [], []
+    for b in range(8):
+        to_scene = b < 3         # bundles 0-2 dense, 3-7 sparse
+        tgt = (np.array([0.0, 0.0, 3.0]) if to_scene
+               else np.array([6.0 * (b - 4), 8.0, -3.0]))
+        o = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (256, 1))
+        d = (tgt[None] - o) + rng.uniform(-0.25, 0.25, (256, 3))
+        ds_.append((d / np.linalg.norm(d, axis=-1, keepdims=True))
+                   .astype(np.float32))
+        os_.append(o)
+    o = jnp.asarray(np.concatenate(os_))
+    d = jnp.asarray(np.concatenate(ds_))
+
+    kw = dict(candidate_capacity=128, order="bundle", sorted_passes=0)
+
+    def run(**tier):
+        def f(opa):
+            out = grt.trace(pos, quat, scale, opa, feats, o, d, **kw, **tier)
+            return jnp.sum(out.rgb ** 2) + jnp.sum(out.opacity), out
+        (loss, out), g = jax.value_and_grad(f, has_aux=True)(opa)
+        return loss, out, g
+
+    l0, out0, g0 = run(tier_lo_capacity=0)
+    l1, out1, g1 = run(tier_lo_capacity=128, tier_hi_count=3)
+    assert not bool(out1.overflow)
+    np.testing.assert_array_equal(np.asarray(out0.rgb), np.asarray(out1.rgb))
+    np.testing.assert_array_equal(np.asarray(out0.depth),
+                                  np.asarray(out1.depth))
+    # Gradients: tiering splits the per-particle reduction into two
+    # segment sums added together — f32 summation-order jitter only,
+    # bounded relative to the gradient scale.
+    a, b = np.asarray(g1), np.asarray(g0)
+    np.testing.assert_allclose(a, b, rtol=2e-4,
+                               atol=5e-6 * np.abs(b).max())

@@ -48,6 +48,9 @@ class RenderConfig:
     # at scale: tools/ab_lowprec.py; per-op tolerance: the bf16 leg of
     # tools/tpu_vs_cpu_check.py). Forward images are bit-identical.
     # Eval/parity paths always use exact f32 (the flag is gated on train).
+    # Measured A/B (RESULTS.md): 2000-step 800x800 GS run, f32 38.328 vs
+    # bf16 38.198 val PSNR (-0.130 dB) at 1.76x speed — WITHIN the f32
+    # seed-to-seed control spread of 0.142 dB, so the default stays True.
     low_precision_grads: bool = True
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.

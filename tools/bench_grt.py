@@ -27,10 +27,12 @@ def main():
         # scene (+~15% headroom, 256-aligned) via BENCH_AUTOTUNE=1, then
         # hardcoded so the driver's timed run skips the probe compile.
         n, side, cand, iters = 100_000, 512, 1792, 10
-        super_cap = 11264
+        super_cap = 24320          # zero-truncation (probe max 22093 +10%)
+        cap_lo, nb_hi = None, None  # auto tier; BENCH_AUTOTUNE overrides
     else:
         n, side, cand, iters = 2_000, 64, 256, 2
         super_cap = 1024
+        cap_lo, nb_hi = None, None
     n_rays = side * side
 
     rng = np.random.default_rng(0)
@@ -76,19 +78,29 @@ def main():
             ci, cm, ovf, _ = grt.bundle_candidates_twolevel(
                 pos, radius, valid, o, d, 256, 4096,
                 super_capacity=int(n))
-            c2 = jnp.max(jnp.sum(cm.astype(jnp.int32), axis=1))
-            return c1, c2
-        c1, c2 = probe(pos, opa)
-        up = lambda x, h: -(-int(int(x) * h) // 256) * 256
-        print({"probe_super_max": int(c1), "probe_cand_max": int(c2),
-               "super_cap": up(c1, 1.10), "cand": up(c2, 1.15)})
-        super_cap, cand = up(c1, 1.10), up(c2, 1.15)
+            return c1, jnp.sum(cm.astype(jnp.int32), axis=1)
+        c1, counts = probe(pos, opa)
+        counts = np.asarray(counts)
+        up = lambda x, h, a=256: -(-int(int(x) * h) // a) * a
+        super_cap, cand = up(c1, 1.10), up(counts.max(), 1.15)
+        # Tier split: low tier sized at the ~75th percentile count
+        # (128-aligned); high tier takes every denser bundle + 20% margin.
+        cap_lo = up(np.quantile(counts, 0.75), 1.10, a=128)
+        nb_hi = min(len(counts) - 1,
+                    max(1, int(np.sum(counts > cap_lo) * 1.2)))
+        print({"probe_super_max": int(c1), "probe_cand_max": int(counts.max()),
+               "probe_cand_mean": round(float(counts.mean()), 1),
+               "super_cap": super_cap, "cand": cand,
+               "tier_lo_capacity": cap_lo, "tier_hi_count": nb_hi},
+              flush=True)
 
     def fwd_bwd(pos, opa):
         def loss(pos, opa):
             out = grt.trace(pos, q, s, opa, feats, o, d,
                             candidate_capacity=cand,
-                            super_capacity=super_cap)
+                            super_capacity=super_cap,
+                            tier_lo_capacity=cap_lo,
+                            tier_hi_count=nb_hi)
             return (jnp.mean(out.rgb) + jnp.mean(out.opacity),
                     out.overflow)
         (_, ovf), g = jax.value_and_grad(
