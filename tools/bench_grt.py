@@ -28,7 +28,7 @@ def main():
         # hardcoded so the driver's timed run skips the probe compile.
         n, side, cand, iters = 100_000, 512, 1792, 10
         super_cap = 24320          # zero-truncation (probe max 22093 +10%)
-        cap_lo, nb_hi = None, None  # auto tier; BENCH_AUTOTUNE overrides
+        cap_lo, nb_hi = 1152, 199  # tier split (probe p75+10%, dense+20%)
     else:
         n, side, cand, iters = 2_000, 64, 256, 2
         super_cap = 1024

@@ -84,6 +84,52 @@ def main(stages):
         print(f"    candidates/bundle: mean {counts.mean():.0f} "
               f"max {counts.max()} cap {cand} overflow={bool(ovf)}")
 
+    if want("cull2"):
+        # Two-level internals at the zero-truncation super capacity.
+        S_CAP = 24320
+        valid = opa >= C.MIN_ALPHA
+        bundles_m = jax.jit(lambda oo, dd: grt.make_bundles(oo, dd, 256))(
+            o, d)
+        perm = jax.jit(grt.bundle_morton_order)(bundles_m)
+        sup = jax.jit(lambda b, p: grt.make_super_bundles(b, p, 16))(
+            bundles_m, perm)
+
+        @jax.jit
+        def l1_test(p, r):
+            hit1, t1 = grt._cone_hit(p, r, valid, sup)
+            return hit1, t1
+        hit1, t1 = timed("  L1 cone test [64,100k]", l1_test, pos, radius)
+
+        @jax.jit
+        def l1_topk(h, t):
+            key1 = jnp.where(h, -t, -jnp.inf)
+            return jax.lax.top_k(key1, S_CAP)[1].astype(jnp.int32)
+        sup_idx = timed("  L1 top_k -> super lists", l1_topk, hit1, t1)
+
+        @jax.jit
+        def l2_all(p, r, si):
+            ns, s_cap2 = si.shape
+            p_s = p[si.reshape(-1)].reshape(ns, s_cap2, 3)
+            r_s = r[si.reshape(-1)].reshape(ns, s_cap2)
+            ob = bundles_m.origin[perm].reshape(ns, 16, 3)
+            db = bundles_m.direction[perm].reshape(ns, 16, 3)
+            v = p_s[:, None, :, :] - ob[:, :, None, :]
+            t_ax = jnp.einsum("nmsi,nmi->nms", v, db)
+            d_ax = jnp.sqrt(jnp.maximum(
+                jnp.sum(v * v, axis=-1) - t_ax * t_ax, 0.0))
+            hit2 = d_ax <= (r_s[:, None, :] + 0.05)
+            return hit2, t_ax
+        hit2, t_ax2 = timed("  L2 cone test [64,16,S]", l2_all, pos, radius,
+                            sup_idx)
+
+        @jax.jit
+        def l2_sort(h2, t2, si):
+            key2 = jnp.where(h2, t2, jnp.inf)
+            gid = jnp.broadcast_to(si[:, None, :], key2.shape)
+            _, gs = jax.lax.sort((key2, gid), num_keys=1, dimension=-1)
+            return gs[..., :cand]
+        timed("  L2 depth sort+slice", l2_sort, hit2, t_ax2, sup_idx)
+
     @jax.jit
     def do_pack(p):
         return grt.pack_rows64(p, q, s, opa, feats)

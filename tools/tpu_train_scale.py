@@ -195,6 +195,15 @@ def build_trainer(resume_path=None):
     if resume_path:
         tr = Trainer.load_checkpoint(resume_path, dataset=ds,
                                      val_dataset=val, strategy=strategy)
+        # SCALE_ISECT_CAP pre-sizes the intersection buffer on resume so a
+        # long run pays zero mid-run growth recompiles (each one is a
+        # multi-minute remote-tunnel compile of the full train step).
+        cap_env = os.environ.get("SCALE_ISECT_CAP")
+        if cap_env:
+            cap = max(int(cap_env), tr.isect_capacity)
+            tr.isect_capacity = cap
+            tr.cfg.render.isect_capacity = cap
+            print(f"isect_capacity pre-sized -> {cap}", flush=True)
         return tr
     xyz, rgb = ds.initialization_points()
     params = gaussians.init_from_points(
