@@ -69,6 +69,9 @@ def main():
     # base_sorted.yaml) — the RESULTS.md sorted-mode datapoint.
     sorted_passes = int(_os.environ.get("BENCH_SORTED", "0"))
     cfg.render.k_buffer_passes = sorted_passes
+    # BENCH_ROWTERM=1/0 overrides per-pixel last-touch termination for A/B.
+    if "BENCH_ROWTERM" in _os.environ:
+        cfg.render.row_termination = bool(int(_os.environ["BENCH_ROWTERM"]))
     cfg_key = _register_cfg(cfg)
 
     cam = _example_camera(res)

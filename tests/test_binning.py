@@ -51,9 +51,9 @@ def test_pallas_binning_matches_xla():
                                   np.asarray(getattr(b_old, f))), (f, seed)
         # Sentinel-region slots (beyond the culled pairs) carry culled/tail
         # ids whose order may differ; only the valid region must agree.
-        f = "sorted_particle_idx"
-        assert np.array_equal(np.asarray(getattr(b_new, f))[:nv],
-                              np.asarray(getattr(b_old, f))[:nv]), f
+        for f in ("sorted_particle_idx", "sorted_rowbits"):
+            assert np.array_equal(np.asarray(getattr(b_new, f))[:nv],
+                                  np.asarray(getattr(b_old, f))[:nv]), f
 
 
 def test_pallas_binning_overflow_flag():

@@ -76,6 +76,32 @@ def test_gs_prune_and_reset():
     assert np.all(np.asarray(p3.density) <= target + 1e-6)
 
 
+def test_gs_reset_ends_with_densify_window():
+    """Density resets stop at densify_end (reference
+    configs/strategy/gs.yaml:25-28 ties reset_density.end_iteration to
+    densify.end_iteration; misc.py check_step_condition uses step < end).
+    An unbounded reset collapses converged models every 3000 steps forever."""
+    from threedgrut_tpu.config import Config
+
+    cfg = Config().strategy
+    strat = gs.GSStrategy(cfg, 16)
+
+    class _T:  # minimal trainer stand-in
+        params = make_params(density=3.0)
+        opt_state = optimizers.init(params)
+        key = jax.random.PRNGKey(0)
+        scene_extent = 1.0
+
+    for step, expect_reset in ((12000, True), (15000, False),
+                               (18000, False), (30000, False)):
+        t = _T()
+        t.global_step = step
+        before = np.asarray(t.params.density).copy()
+        strat.post_optimizer_step(t, None, None)
+        changed = not np.array_equal(before, np.asarray(t.params.density))
+        assert changed == expect_reset, (step, changed)
+
+
 def test_mcmc_relocation_correction_matches_kernel():
     """Golden test vs a direct python port of compute_relocation_kernel."""
     n_max = 51

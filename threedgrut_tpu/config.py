@@ -52,6 +52,14 @@ class RenderConfig:
     # bf16 38.198 val PSNR (-0.130 dB) at 1.76x speed — WITHIN the f32
     # seed-to-seed control spread of 0.142 dB, so the default stays True.
     low_precision_grads: bool = True
+    # Per-pixel last-touch termination: each pixel composites only slots
+    # whose PROJECTED footprint (the tile-cull conic/max_power test,
+    # reference gutProjector.cuh:49-116, at row granularity) reaches its
+    # tile row, and the kernel's window walk stops once every pixel is
+    # saturated or past its bound — unsaturated background/gap pixels no
+    # longer force their tile to walk its full range. Same approximation
+    # family as tile_culling, one level finer (ops/tiles.row_last_touch).
+    row_termination: bool = False
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
     isect_capacity: int = 1 << 21

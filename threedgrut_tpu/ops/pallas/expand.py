@@ -224,6 +224,29 @@ def _kernel(pa_ref, a0_ref, a1_ref, out_ref, *, gx, num_tiles, tile_culling,
         power = jnp.where(outside, power, 0.0)
         valid &= power < ex[CH_MAXPOW, :][None, :]
 
+    # Tile-LOCAL pixel-row extent of the projected footprint, for the
+    # row-termination bound (ops/tiles.row_last_touch): the extremal |dy|
+    # on the level set {power == max_power} is sqrt(2 mp cx / det), padded
+    # 1 px and clipped to the tile (contract: clipped-interval cover, see
+    # ops/tiles.row_last_touch). Packed y0*16 + y1 — 8 bits, rides the
+    # existing tile sort inside the pidx payload's top bits (free).
+    e_cx = ex[CH_CA, :][None, :]
+    e_cb = ex[CH_CB, :][None, :]
+    e_cz = ex[CH_CC, :][None, :]
+    e_det = e_cx * e_cz - e_cb * e_cb
+    e_dy = jnp.where(
+        e_det > 1e-12,
+        jnp.sqrt(jnp.maximum(2.0 * ex[CH_MAXPOW, :][None, :] * e_cx, 0.0)
+                 / jnp.maximum(e_det, 1e-12)),
+        jnp.float32(1e9))
+    e_cy = ex[CH_CY, :][None, :]
+    ty_pix = ty * jnp.float32(C.TILE_Y)
+    y0l = jnp.clip(jnp.floor(e_cy - e_dy) - 1.0 - ty_pix, 0.0, 15.0)
+    y1l = jnp.clip(jnp.ceil(e_cy + e_dy) + 1.0 - ty_pix, 0.0, 15.0)
+    # Unowned slots: defined full extent (matches the XLA path, whose tail
+    # slots forward-fill foreign attrs; masked by the tile sentinel anyway).
+    rowbits = jnp.where(owned, y0l * 16.0 + y1l, jnp.float32(15.0))
+
     out_ref[...] = jnp.concatenate([
         jnp.where(valid, tile, jnp.float32(num_tiles)),
         # Unowned (tail) slots get pid = N: the gather backward keys its
@@ -234,7 +257,8 @@ def _kernel(pa_ref, a0_ref, a1_ref, out_ref, *, gx, num_tiles, tile_culling,
         # compaction, ops/tiles.py) and the caller's tile sort is stable.
         jnp.where(owned, ex[CH_PIDX, :][None, :],
                   jnp.float32(pid_sentinel)),
-        jnp.zeros((6, SBLK), jnp.float32),
+        rowbits,
+        jnp.zeros((5, SBLK), jnp.float32),
     ], axis=0)
 
 
@@ -246,10 +270,12 @@ def expand_keys(
     tile_culling: bool,
     pid_sentinel: int,         # pid for unowned tail slots (= N particles)
 ):
-    """Returns (tile_key i32 [cap], pidx i32 [cap]); tail slots (beyond the
-    true intersection total) carry pid_sentinel. No depth key: expansion
-    order is depth-ascending (the caller rank-compacts by depth), so a
-    stable tile-only sort yields (tile, depth) order."""
+    """Returns (tile_key i32 [cap], pidx i32 [cap], rowbits i32 [cap]);
+    tail slots (beyond the true intersection total) carry pid_sentinel.
+    rowbits packs the slot's tile-local footprint row extent y0*16+y1 for
+    the row-termination bound. No depth key: expansion order is
+    depth-ascending (the caller rank-compacts by depth), so a stable
+    tile-only sort yields (tile, depth) order."""
     gx, gy = tile_grid
     num_tiles = gx * gy
     rch, m_pad = attrs_rank.shape
@@ -286,7 +312,8 @@ def expand_keys(
             dimension_semantics=("arbitrary",)),
         interpret=tile_raster._should_interpret(),
     )(pa_block, attrs_rank, attrs_rank)
-    return (out[0].astype(jnp.int32), out[1].astype(jnp.int32))
+    return (out[0].astype(jnp.int32), out[1].astype(jnp.int32),
+            out[2].astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

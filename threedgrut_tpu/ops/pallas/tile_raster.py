@@ -317,7 +317,8 @@ _N_WBUF = 4   # write-buffer ring depth (overlaps write DMAs)
 def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
                     *rest, degree, min_transmittance, min_response,
                     min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
-                    aux_outputs=True, emit_flags=False):
+                    aux_outputs=True, emit_flags=False,
+                    row_termination=False):
     """With `emit_flags`, a second [W, 8, CHUNK] output carries the per-slot
     contributed bit in row 0 (w_ > 0 for any pixel of the owning tile —
     reference semantics: the hit-accepted particle flag,
@@ -347,6 +348,16 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
     out_ref[0, 5, :] = jnp.ones((PIX,), jnp.float32)  # transmittance
 
     rays = rays_ref[0]
+    # Per-pixel LAST-TOUCH slot bound (rays row 7, f32 slot index): the
+    # pixel composites only slots <= its bound, and the window walk stops
+    # once every pixel is saturated OR past its bound. The bound is the
+    # last sorted slot whose PROJECTED footprint (same conic/max_power test
+    # as tile culling, gutProjector.cuh:49-78) reaches the pixel's tile
+    # row — footprint-gated compositing at row granularity, the same
+    # approximation family as the reference's per-tile cull, one level
+    # finer. Callers must fill rays row 7 (ops/tiles.row_last_touch) when
+    # enabling; -1 rows terminate immediately.
+    lt = rays[7, :][None, :] if row_termination else None
 
     # Ring-buffered group DMA: keep PREFETCH groups in flight while
     # computing one (the sequential per-group DMA wait would otherwise
@@ -401,9 +412,12 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
                                  has_t_max=has_t_max)
             alpha, _ = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                        max_alpha)
-            one_m = 1.0 - alpha
             row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                        + w * CHUNK)
+            if row_termination:
+                alpha = jnp.where(row_idx.astype(jnp.float32) <= lt,
+                                  alpha, 0.0)
+            one_m = 1.0 - alpha
             excl, _ = _t_before_excl(alpha, one_m, q, sorted_passes,
                                      row_idx, start, end)
             t_carry = out_ref[0, 5, :][None, :]
@@ -454,14 +468,22 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
             fstate[2 + fs] = g
             fstate[0] = g
             fstate[1] = k + 1
-        alive = jnp.any(out_ref[0, 5, :] > min_transmittance)
+        needed = out_ref[0, 5, :] > min_transmittance
+        if row_termination:
+            nxt = ((g + 1) * GROUP * CHUNK).astype(jnp.float32)
+            needed = needed & (rays[7, :] >= nxt)
+        alive = jnp.any(needed)
         return g + 1, alive
 
     def cond(state):
         g, alive = state
         return (g < g1) & alive
 
-    gf, _ = jax.lax.while_loop(cond, body, (g0, jnp.bool_(True)))
+    alive0 = jnp.bool_(True)
+    if row_termination:
+        alive0 = jnp.any(rays[7, :] >= (g0 * GROUP * CHUNK)
+                         .astype(jnp.float32))
+    gf, _ = jax.lax.while_loop(cond, body, (g0, alive0))
 
     # Early exit may leave up to PREFETCH started-but-unconsumed DMAs (the
     # invariant is: groups gf..min(g1, gf+PREFETCH)-1 are in flight); drain
@@ -483,7 +505,8 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                      gout_ref, zeros_hbm, gdata_hbm, dbuf, wbuf, sem,
                      wsem, wstate, *, degree, min_transmittance, min_response,
                      min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
-                     aux_grads=True, lowprec_grads=False):
+                     aux_grads=True, lowprec_grads=False,
+                     row_termination=False):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
@@ -600,9 +623,15 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                              has_t_max=has_t_max)
         alpha, accept = _alpha_from_raw(q, row_mask, min_response, min_alpha,
                                         max_alpha)
-        one_m = 1.0 - alpha
         row_idx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
                    + w * CHUNK)
+        if row_termination:
+            # Mirror the forward's footprint gate (see _forward_kernel);
+            # gated pairs carry one_m == 1 and w_ == 0, so their gradients
+            # vanish through the w_ > 0 masks below.
+            alpha = jnp.where(row_idx.astype(jnp.float32)
+                              <= rays[7, :][None, :], alpha, 0.0)
+        one_m = 1.0 - alpha
         excl, masks = _t_before_excl(alpha, one_m, q, sorted_passes,
                                      row_idx, start, end)
         t_before = t_carry_v[None, :] * excl
@@ -724,7 +753,11 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # Early exit mirrors the forward: once every ray's transmittance is
         # below the floor no later hit has weight or gradient, and the
         # pre-zeroed output already holds the correct (zero) values.
-        return (g < g1) & jnp.any(t_carry_v > min_transmittance)
+        needed = t_carry_v > min_transmittance
+        if row_termination:
+            needed = needed & (rays[7, :]
+                               >= (g * GROUP * CHUNK).astype(jnp.float32))
+        return (g < g1) & jnp.any(needed)
 
     gf, _, _ = jax.lax.while_loop(
         cond, body,
@@ -760,7 +793,7 @@ def _from_windows(wdata: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def tile_composite(
     data_sorted: jnp.ndarray,   # [capP, 16] gathered packed rows
     tile_starts: jnp.ndarray,   # [num_tiles]
@@ -776,6 +809,7 @@ def tile_composite(
     aux_grads: bool = True,
     aux_outputs: bool = True,
     lowprec_grads: bool = False,
+    row_termination: bool = False,
 ) -> jnp.ndarray:
     """Returns [num_tiles, 8, 256] forward buffer (see module docstring).
 
@@ -797,13 +831,14 @@ def tile_composite(
         "aux_outputs=False requires aux_grads=False")
     return _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                     min_transmittance, min_response, min_alpha, max_alpha,
-                    sorted_passes, has_t_max, aux_outputs)
+                    sorted_passes, has_t_max, aux_outputs,
+                    row_termination=row_termination)
 
 
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
              sorted_passes=0, has_t_max=True, aux_outputs=True,
-             emit_flags=False):
+             emit_flags=False, row_termination=False):
     """With emit_flags, returns (out, flags_slot [capP] f32 0/1 per-slot
     contributed bit); the flags leg has NO vjp (eval-only callers)."""
     num_tiles = rays.shape[0]
@@ -812,7 +847,8 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
-        aux_outputs=aux_outputs, emit_flags=emit_flags)
+        aux_outputs=aux_outputs, emit_flags=emit_flags,
+        row_termination=row_termination)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
         pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
@@ -870,16 +906,17 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
 def _fwd_rule(data_sorted, tile_starts, tile_ends, rays, degree,
               min_transmittance, min_response, min_alpha, max_alpha,
               sorted_passes=0, has_t_max=True, aux_grads=True,
-              aux_outputs=True, lowprec_grads=False):
+              aux_outputs=True, lowprec_grads=False, row_termination=False):
     out = _forward(data_sorted, tile_starts, tile_ends, rays, degree,
                    min_transmittance, min_response, min_alpha, max_alpha,
-                   sorted_passes, has_t_max, aux_outputs)
+                   sorted_passes, has_t_max, aux_outputs,
+                   row_termination=row_termination)
     return out, (data_sorted, tile_starts, tile_ends, rays, out)
 
 
 def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
               sorted_passes, has_t_max, aux_grads, aux_outputs, lowprec_grads,
-              res, g_out):
+              row_termination, res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
@@ -888,7 +925,8 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         min_transmittance=min_transmittance, min_response=min_response,
         min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
-        aux_grads=aux_grads, lowprec_grads=lowprec_grads)
+        aux_grads=aux_grads, lowprec_grads=lowprec_grads,
+        row_termination=row_termination)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -23,11 +23,12 @@ Differences by design:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from threedgrut_tpu import constants as C
 from threedgrut_tpu.ops.projection import Projection, tile_min_power_response
 
 
@@ -43,6 +44,11 @@ class TileBinning(NamedTuple):
     overflow: jnp.ndarray             # [] bool — true total exceeded capacity
     particle_ends: jnp.ndarray        # [N] int32 cumsum of per-particle counts
     particle_counts: jnp.ndarray      # [N] int32
+    # Per-slot tile-local footprint row extent y0*16+y1 (8 bits; the
+    # row-termination bound's input — see row_last_touch). Computed by the
+    # expansion for free and carried through the tile sort packed into the
+    # pid payload's top bits.
+    sorted_rowbits: Optional[jnp.ndarray] = None
 
 
 def bin_particles(
@@ -139,7 +145,7 @@ def _bin_particles_pallas(
     # Binning is a discrete structure decision: no gradient flows through
     # the sort keys (the reference's CUB pipeline likewise sits outside
     # autodiff), and pallas_call has no JVP rule to trace through.
-    tile_key, pidx_c = ex.expand_keys(
+    tile_key, pidx_c, rowbits = ex.expand_keys(
         jax.lax.stop_gradient(a_rank.T), ends_rank.astype(jnp.int32),
         cap, tile_grid, tile_culling, pid_sentinel=n)
 
@@ -147,8 +153,13 @@ def _bin_particles_pallas(
     # ascending (rank compaction above), so stability gives per-tile depth
     # order for free. The gather backward unsorts by PARTICLE ID (stable, so
     # segments are the same [ends[p-1], ends[p]) ranges) — no expansion-slot
-    # permutation operand needed (ops/sorted_gather.py).
-    sorted_tile, sorted_idx = jax.lax.sort((tile_key, pidx_c), num_keys=1)
+    # permutation operand needed (ops/sorted_gather.py). The 8-bit footprint
+    # row extent rides in the pid PAYLOAD's top bits — payload bits never
+    # affect a num_keys=1 sort's order, so this costs no extra operand.
+    packed = pidx_c | (rowbits << 24)
+    sorted_tile, sorted_packed = jax.lax.sort((tile_key, packed), num_keys=1)
+    sorted_idx = sorted_packed & 0x00FFFFFF
+    sorted_rowbits = (sorted_packed >> 24) & 0xFF
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -163,7 +174,93 @@ def _bin_particles_pallas(
         overflow=overflow,
         particle_ends=ends,
         particle_counts=counts,
+        sorted_rowbits=sorted_rowbits,
     )
+
+
+def particle_row_extent(proj) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-particle global pixel-row interval [py0, py1] of the projected
+    footprint {power <= max_power} (same conic/max_power as the tile cull,
+    reference gutProjector.cuh:49-116). For power = 0.5(cx dx^2 + cz dy^2)
+    + cb dx dy, the extremal |dy| on the level set is
+    sqrt(2 mp cx / (cx cz - cb^2)); padded by 1 px against fp slack."""
+    cx, cb, cz = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    det = cx * cz - cb * cb
+    safe = det > 1e-12
+    dy = jnp.sqrt(jnp.maximum(2.0 * proj.max_power * cx, 0.0)
+                  / jnp.where(safe, det, 1.0))
+    dy = jnp.where(safe, dy, jnp.float32(1e9))
+    cy = proj.center[:, 1]
+    return jnp.floor(cy - dy) - 1.0, jnp.ceil(cy + dy) + 1.0
+
+
+def row_last_touch(binning: TileBinning, proj, tile_grid) -> jnp.ndarray:
+    """Per-pixel LAST-TOUCH slot bound for the kernel's row-termination mode
+    (rays row 7): lt[t, p] = index of the last sorted slot whose projected
+    footprint reaches pixel p's tile row, or -1. Pixels composite only slots
+    <= their bound and the window walk stops once every pixel is saturated
+    or past it (ops/pallas/tile_raster.py row_termination).
+
+    Segmented max over each tile's contiguous slot range, done blockwise to
+    avoid a big scatter: 256-slot blocks reduce with reshapes; a block's
+    slots split between its first/last tile handle the boundaries; interior
+    (single-tile) blocks scatter-max at block granularity (~cap/256 rows).
+    Tiles whose whole segment sits strictly inside a foreign-owned block
+    fall back to their exact end (<= 2 windows, no loss)."""
+    gx, gy = tile_grid
+    num_tiles = gx * gy
+    cap = binning.sorted_particle_idx.shape[0]
+    n = proj.depth.shape[0]
+    tile = binning.sorted_tile
+    if binning.sorted_rowbits is not None:
+        # Fast path: the expansion computed the clipped tile-local extent
+        # and the tile sort carried it for free (pid payload top bits).
+        rb = binning.sorted_rowbits
+        y0 = (rb // 16).astype(jnp.float32)
+        y1 = (rb % 16).astype(jnp.float32)
+    else:
+        # Fallback (tests/oracle): one 2-channel per-slot gather.
+        py0, py1 = particle_row_extent(proj)
+        pid = binning.sorted_particle_idx
+        pidc = jnp.minimum(pid, n - 1)
+        ext = jnp.stack([py0, py1], axis=-1)[pidc]
+        ty = (jnp.minimum(tile, num_tiles - 1) // gx).astype(jnp.float32)
+        y0 = jnp.clip(ext[:, 0] - ty * 16.0, 0.0, 15.0)
+        y1 = jnp.clip(ext[:, 1] - ty * 16.0, 0.0, 15.0)
+    real = tile < num_tiles                              # tail/culled slots
+    r = jnp.arange(16, dtype=jnp.float32)
+    slotf = jnp.arange(cap, dtype=jnp.float32)
+    cover = (y0[:, None] <= r) & (r <= y1[:, None]) & real[:, None]
+    f = jnp.where(cover, slotf[:, None], -1.0)           # [cap, 16]
+
+    B = 256
+    nb = cap // B
+    fb = f.reshape(nb, B, 16)
+    tb = tile.reshape(nb, B)
+    first_t, last_t = tb[:, 0], tb[:, -1]
+    bm = jnp.max(fb, axis=1)                             # [nb, 16]
+    lo = jnp.max(jnp.where((tb == first_t[:, None])[..., None], fb, -1.0),
+                 axis=1)
+    hi = jnp.max(jnp.where((tb == last_t[:, None])[..., None], fb, -1.0),
+                 axis=1)
+    owner = jnp.where(first_t == last_t, first_t, num_tiles)
+    interior = jax.ops.segment_max(bm, owner, num_segments=num_tiles + 1)
+    interior = jnp.maximum(interior[:num_tiles], -1.0)   # empty -> -inf
+
+    s, e = binning.tile_starts, binning.tile_ends
+    has_any = e > s
+    b0 = jnp.where(has_any, s // B, 0)
+    b1 = jnp.where(has_any, jnp.maximum(e - 1, 0) // B, 0)
+    tid = jnp.arange(num_tiles, dtype=jnp.int32)
+    cand_hi = jnp.where((last_t[b0] == tid)[:, None], hi[b0], -1.0)
+    cand_lo = jnp.where((first_t[b1] == tid)[:, None], lo[b1], -1.0)
+    lt = jnp.maximum(jnp.maximum(interior, cand_hi), cand_lo)
+    fb_needed = (has_any & (b0 == b1)
+                 & (first_t[b0] != tid) & (last_t[b0] != tid))
+    lt = jnp.where(fb_needed[:, None], (e - 1)[:, None].astype(jnp.float32),
+                   lt)
+    lt = jnp.where(has_any[:, None], lt, -1.0)
+    return jnp.repeat(lt, 16, axis=1)                    # [num_tiles, 256]
 
 
 def _bin_particles_xla(
@@ -265,7 +362,27 @@ def _bin_particles_xla(
     # their cotangents are zero).
     pid_key = jnp.where(owned, pidx_c, n)
 
-    sorted_tile, sorted_idx = jax.lax.sort((tile_key, pid_key), num_keys=1)
+    # Tile-local footprint row extent (the Pallas expansion's rowbits
+    # channel, same formula/contract — see expand._kernel): rides the sort
+    # in the payload's top 8 bits. Unowned slots carry the defined full
+    # extent 0..15 (masked by the tile sentinel downstream).
+    s_cx, s_cb, s_cz = a[:, 5], a[:, 6], a[:, 7]
+    s_det = s_cx * s_cz - s_cb * s_cb
+    s_dy = jnp.where(
+        s_det > 1e-12,
+        jnp.sqrt(jnp.maximum(2.0 * a[:, 10] * s_cx, 0.0)
+                 / jnp.maximum(s_det, 1e-12)),
+        jnp.float32(1e9))
+    s_cy = a[:, 9]
+    ty_pix = ty.astype(jnp.float32) * jnp.float32(C.TILE_Y)
+    y0l = jnp.clip(jnp.floor(s_cy - s_dy) - 1.0 - ty_pix, 0.0, 15.0)
+    y1l = jnp.clip(jnp.ceil(s_cy + s_dy) + 1.0 - ty_pix, 0.0, 15.0)
+    rowbits = jnp.where(owned, (y0l * 16.0 + y1l).astype(jnp.int32), 15)
+
+    packed = pid_key | (rowbits << 24)
+    sorted_tile, sorted_packed = jax.lax.sort((tile_key, packed), num_keys=1)
+    sorted_idx = sorted_packed & 0x00FFFFFF
+    sorted_rowbits = (sorted_packed >> 24) & 0xFF
 
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tstarts = jnp.searchsorted(sorted_tile, tiles, side="left").astype(jnp.int32)
@@ -280,4 +397,5 @@ def _bin_particles_xla(
         overflow=overflow,
         particle_ends=ends,
         particle_counts=counts,
+        sorted_rowbits=sorted_rowbits,
     )

@@ -169,6 +169,7 @@ def render(
     aux_outputs: bool = True,
     low_precision_grads: bool = False,
     hit_visibility: bool = False,
+    row_termination: bool = False,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -210,19 +211,30 @@ def render(
     rays = packed_world_rays(cam, pose, tile_grid, T_to_world, t_max,
                              shutter=shutter, jitter=ray_jitter)
 
+    if row_termination:
+        # Per-pixel last-touch bound in rays row 7: pixels composite only
+        # slots whose projected footprint reaches their tile row and the
+        # window walk stops once every pixel is saturated or past its
+        # bound (ops/tiles.row_last_touch, tile_raster row_termination).
+        from threedgrut_tpu.ops import tiles as tile_ops
+        lt = tile_ops.row_last_touch(binning, proj, tile_grid)
+        rays = rays.at[:, 7, :].set(jax.lax.stop_gradient(lt))
+
     if hit_visibility:
         out, flags_slot = tile_raster._forward(
             jax.lax.stop_gradient(data_sorted), binning.tile_starts,
             binning.tile_ends, rays, kernel_degree, min_transmittance,
             C.MIN_KERNEL_RESPONSE, C.MIN_ALPHA, C.MAX_ALPHA,
             sorted_passes=sorted_passes, has_t_max=t_max is not None,
-            aux_outputs=aux_outputs, emit_flags=True)
+            aux_outputs=aux_outputs, emit_flags=True,
+            row_termination=row_termination)
     else:
         out = tile_raster.tile_composite(
             data_sorted, binning.tile_starts, binning.tile_ends, rays,
             kernel_degree, min_transmittance, sorted_passes=sorted_passes,
             has_t_max=t_max is not None, aux_grads=aux_gradients,
-            aux_outputs=aux_outputs, lowprec_grads=low_precision_grads)
+            aux_outputs=aux_outputs, lowprec_grads=low_precision_grads,
+            row_termination=row_termination)
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]

@@ -235,7 +235,14 @@ class GSStrategy(BaseStrategy):
                      self.cfg.prune_weight_frequency):
             trainer.params = prune_weight(trainer.params, self.state,
                                           self.cfg.prune_weight_threshold)
-        if self._due(step, self.cfg.reset_density_frequency, -1,
+        # Density resets END with the densify window (reference
+        # configs/strategy/gs.yaml:25-28 ties reset_density.end_iteration to
+        # densify.end_iteration). An unbounded reset fires every 3000 steps
+        # FOREVER and permanently collapses a converged model — a run whose
+        # last step is a multiple of 3000 then checkpoints/evals the
+        # collapsed state (this silently ruined a 30k-step at-scale proof).
+        if self._due(step, self.cfg.reset_density_frequency,
+                     self.cfg.densify_end,
                      self.cfg.reset_density_frequency):
             trainer.params = reset_density(trainer.params,
                                            self.cfg.reset_density_value)

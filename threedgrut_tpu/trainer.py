@@ -86,6 +86,7 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 # the logged depth/hit panels).
                 aux_gradients=False, aux_outputs=not train,
                 low_precision_grads=cfg.render.low_precision_grads and train,
+                row_termination=cfg.render.row_termination,
                 # Eval reports the kernel's hit-based contributed bit
                 # directly; train derives it from nonzero gradients below
                 # (free) and must keep the differentiable path.
@@ -395,7 +396,13 @@ class Trainer:
             for f in dataclasses.fields(strat_state):
                 flat[f"strategy/{f.name}"] = np.asarray(
                     getattr(strat_state, f.name))
-        np.savez(path, **flat)
+        # Atomic write: a process killed mid-save (remote-tunnel hangs are
+        # killed by timeout) must never leave a truncated ckpt_last.npz —
+        # resume loops depend on it being loadable.
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
         with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
             json.dump(to_dict(self.cfg), f, indent=2)
         return path

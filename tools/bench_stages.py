@@ -162,6 +162,53 @@ def main(stages):
         print(f"    unsaturated pixels {frac_pix:.4f}, tiles w/ straggler "
               f"{frac_tile:.4f}")
 
+    if want("rowterm"):
+        # Per-pixel last-touch termination probe (ops/tiles.row_last_touch
+        # + tile_composite row_termination): kernel time with the bound vs
+        # without, plus the forward image delta (the footprint gate drops
+        # contributions outside the 2D projected row extent).
+        lt = jax.jit(lambda b, p: tile_ops.row_last_touch(b, p, tile_grid))(
+            binning, proj)
+        rays_lt = rays.at[:, 7, :].set(lt)
+        jax.block_until_ready(rays_lt)
+        ltn = np.asarray(lt[:, ::16])
+        ends = np.asarray(binning.tile_ends).astype(np.float64)
+        starts = np.asarray(binning.tile_starts).astype(np.float64)
+        span = np.maximum(ends - starts, 0.0)
+        # Upper bound on walked-window reduction if saturation never fired:
+        # walk to max over rows of lt instead of end.
+        walk_lt = np.maximum(ltn.max(axis=1) + 1 - starts, 0.0)
+        print(f"    walk bound: sum(end-start) {span.sum():.3g} -> "
+              f"sum(lt-start) {walk_lt.sum():.3g} "
+              f"({100 * walk_lt.sum() / max(span.sum(), 1):.1f}%)")
+
+        @jax.jit
+        def do_fwd_rt(ds, b, r):
+            return tile_raster.tile_composite(
+                ds, b.tile_starts, b.tile_ends, r, 2, 1e-4,
+                has_t_max=False, row_termination=True)
+        out_rt = timed("pallas fwd rowterm", do_fwd_rt, data_sorted,
+                       binning, rays_lt)
+        d = np.abs(np.asarray(out_rt[:, 0:4]) - np.asarray(out_f[:, 0:4]))
+        print(f"    fwd rgb+op delta: max {d.max():.3g} mean {d.mean():.3g}")
+
+        @jax.jit
+        def do_fwd_bwd_rt(ds, b, r):
+            def f(ds_):
+                o = tile_raster.tile_composite(
+                    ds_, b.tile_starts, b.tile_ends, r, 2, 1e-4,
+                    has_t_max=False, aux_grads=False, lowprec_grads=True,
+                    row_termination=True)
+                return jnp.sum(o[:, 0:4, :])
+            return jax.grad(f)(ds)
+        timed("pallas fwd+bwd lp rowterm", do_fwd_bwd_rt, data_sorted,
+              binning, rays_lt)
+
+        @jax.jit
+        def do_lt(b, p):
+            return tile_ops.row_last_touch(b, p, tile_grid)
+        timed("row_last_touch (XLA probe)", do_lt, binning, proj)
+
     if want("bwdlp"):
         @jax.jit
         def do_fwd_bwd_lp(ds, b, r):

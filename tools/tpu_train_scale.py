@@ -241,6 +241,31 @@ def main(stage):
         rec(stage=stage, end_step=tr.global_step,
             n=int(tr.params.num_active()), wall_s=time.time() - t0,
             val=tr.validate())
+    elif stage == "seg":
+        # Segment runner: the remote tunnel hangs every ~35-45 min of
+        # continuous use (sometimes never recovering), so the 12k->30k leg
+        # runs as short resumable segments — each a fresh process under
+        # `timeout` resuming from ckpt_last, so a hang costs one segment.
+        seg = int(os.environ.get("SCALE_SEG_STEPS", "4500"))
+        ck = os.path.join(OUT, "ckpt_last.npz")
+        tr = build_trainer(resume_path=ck)
+        start = tr.global_step
+        n_steps = min(seg, 30000 - start)
+        if n_steps <= 0:
+            print("SEG_DONE", flush=True)
+            raise SystemExit(42)
+        rec(stage=stage, resumed_from=start,
+            n0=int(tr.params.num_active()))
+        t0 = time.time()
+        tr.run(iterations=n_steps, log_every=200, out_dir=OUT)
+        done = tr.global_step >= 30000
+        rec(stage=stage, end_step=tr.global_step,
+            n=int(tr.params.num_active()), wall_s=time.time() - t0,
+            val=(tr.validate() if done else None))
+        print(f"SEG_OK {start}->{tr.global_step}", flush=True)
+        if done:
+            print("SEG_DONE", flush=True)
+            raise SystemExit(42)
     elif stage == "eval":
         from threedgrut_tpu.render_eval import Renderer
         ck = os.path.join(OUT, "ckpt_last.npz")
