@@ -138,6 +138,93 @@ def test_colmap_trains(colmap_dir):
     assert np.isfinite(float(tr.params.positions.sum()))
 
 
+def test_colmap_per_camera_shutter(tmp_path):
+    """Two sensors in ONE dataset carry DIFFERENT shutters (VERDICT r3 task
+    6; reference: shutter is per-camera sensor metadata,
+    threedgut_tracer/tracer.py:138-151), and the renderer consumes each
+    view's own shutter — the rolling-shutter sensor's render moves with the
+    pose pair while the global sensor's does not."""
+    import jax.numpy as jnp
+    from threedgrut_tpu.cameras import (SensorPose, ShutterType,
+                                        matrix_to_quat, pose_from_matrix)
+    from threedgrut_tpu.datasets.protocols import parse_shutter_spec
+    from threedgrut_tpu.render import gut
+
+    d = tmp_path / "two_sensor_rig"
+    os.makedirs(d / "sparse" / "0")
+    os.makedirs(d / "images")
+    rng = np.random.default_rng(3)
+    cams = {1: colmap.ColmapCamera("PINHOLE", 20, 12,
+                                   np.array([18.0, 18.0, 10.0, 6.0])),
+            2: colmap.ColmapCamera("PINHOLE", 20, 12,
+                                   np.array([18.0, 18.0, 10.0, 6.0]))}
+    images = {}
+    for i, T in enumerate(orbit_poses(4, radius=3.0)):
+        R_w2c = T[:3, :3].T
+        t_w2c = -R_w2c @ T[:3, 3]
+        q = np.asarray(matrix_to_quat(jnp.asarray(R_w2c)))
+        name = f"img_{i:03d}.png"
+        images[i + 1] = colmap.ColmapImage(
+            q.astype(np.float64), t_w2c.astype(np.float64),
+            1 + (i % 2), name)                     # alternate the two rigs
+        _save_png(d / "images" / name, rng.uniform(size=(12, 20, 3)))
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    cols = rng.uniform(size=(20, 3)).astype(np.float32)
+    colmap.write_cameras_bin(str(d / "sparse/0/cameras.bin"), cams)
+    colmap.write_images_bin(str(d / "sparse/0/images.bin"), images)
+    colmap.write_points3d_bin(str(d / "sparse/0/points3D.bin"), pts, cols)
+
+    ds = make("colmap", str(d), split="train", test_split_interval=0,
+              shutter_type="1:global,2:rolling_top_to_bottom")
+    by_cam = {}
+    for i in range(len(ds)):
+        v = ds[i]
+        by_cam[ds.images[i].camera_id] = v
+    assert by_cam[1].shutter == ShutterType.GLOBAL
+    assert by_cam[1].pose_end is None
+    assert by_cam[2].shutter == ShutterType.ROLLING_TOP_TO_BOTTOM
+    assert by_cam[2].pose_end is not None       # start==end (no timestamps)
+
+    # The dict/string spec forms agree.
+    spec = parse_shutter_spec({1: "global", 2: "rolling_top_to_bottom"})
+    assert spec == {1: ShutterType.GLOBAL,
+                    2: ShutterType.ROLLING_TOP_TO_BOTTOM}
+
+    # Render each sensor with ITS shutter over a moving pose pair: the
+    # rolling sensor's image must move, the global sensor's must not.
+    n = 32
+    g_pos = rng.normal(0, 0.6, (n, 3)).astype(np.float32)
+    g_quat = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    g_scl = np.full((n, 3), 0.15, np.float32)
+    g_opa = np.full((n,), 0.8, np.float32)
+    g_feat = np.zeros((n, 16, 3), np.float32)
+    g_feat[:, 0] = rng.uniform(0.2, 1.0, (n, 3))
+    gargs = tuple(jnp.asarray(x) for x in (g_pos, g_quat, g_scl, g_opa,
+                                           g_feat))
+
+    def render(view, displace):
+        p0 = pose_from_matrix(jnp.asarray(view.T_to_world))
+        pose = SensorPose(q_start=p0.q_start, t_start=p0.t_start,
+                          q_end=p0.q_start,
+                          t_end=p0.t_start + displace)
+        out, ovf = gut.render(*gargs, view.camera, pose, view.resolution,
+                              2048, shutter=view.shutter,
+                              T_to_world=jnp.asarray(view.T_to_world))
+        assert not bool(ovf)
+        return np.asarray(out.rgb)
+
+    dz = jnp.asarray([0.3, 0.0, 0.0])
+    for cam_id, should_move in ((1, False), (2, True)):
+        v = by_cam[cam_id]
+        a = render(v, jnp.zeros(3))
+        b = render(v, dz)
+        moved = float(np.abs(a - b).max())
+        if should_move:
+            assert moved > 1e-3, "rolling sensor must react to the pose pair"
+        else:
+            assert moved == 0.0, "global sensor must ignore the end pose"
+
+
 def test_cli_train_and_render(nerf_dir, tmp_path):
     """The two CLI entry points end-to-end on the tiny NeRF fixture."""
     import sys

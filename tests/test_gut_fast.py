@@ -275,3 +275,34 @@ def test_hit_visibility_reports_occluded_invisible():
     # Images identical between the two paths.
     np.testing.assert_array_equal(np.asarray(out.rgb),
                                   np.asarray(out_proj.rgb))
+
+
+def test_hit_visibility_refuses_differentiation():
+    """hit_visibility=True is eval-only: differentiating through its outputs
+    must raise loudly instead of returning silent zero gradients (VERDICT r3
+    weak #6)."""
+    import pytest
+
+    n = 3
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 2] = [2.0, 2.5, 3.0]
+    quat = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    scale = np.full((n, 3), 1.0, np.float32)
+    opa = np.full((n,), 0.5, np.float32)
+    feats = np.zeros((n, 16, 3), np.float32)
+    feats[:, 0] = 0.8
+    args = tuple(jnp.asarray(x) for x in (pos, quat, scale, opa, feats))
+
+    def loss(p):
+        out, _ = gut.render(p, *args[1:], CAM, IDENTITY_POSE, RES, 1024,
+                            hit_visibility=True)
+        return jnp.mean(out.rgb)
+
+    with pytest.raises(ValueError, match="eval-only"):
+        jax.grad(loss)(args[0])
+    # The same loss WITHOUT hit_visibility differentiates fine.
+    def loss_ok(p):
+        out, _ = gut.render(p, *args[1:], CAM, IDENTITY_POSE, RES, 1024)
+        return jnp.mean(out.rgb)
+    g = jax.grad(loss_ok)(args[0])
+    assert np.isfinite(np.asarray(g)).all()

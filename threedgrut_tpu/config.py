@@ -38,6 +38,15 @@ class RenderConfig:
     # configs/paper/3dgut/base_sorted.yaml k_buffer_size=16): number of
     # odd-even resort passes in the tile kernel; 0 = global depth order
     # (the benchmarked unsorted default).
+    # ACCURACY BOUND (measured, tools/sorted_stress.py + RESULTS.md): the
+    # pass count bounds the correctable displacement, so MEAN |err| vs the
+    # exact per-ray order falls monotonically with passes (0.057 at 0 ->
+    # 0.019 at 32 on a 24-deep near-tie stress scene), but MAX |err| stays
+    # O(0.4-0.5) for near-tie clusters that straddle a 256-slot window
+    # boundary — no bounded pass count can fix those. The reference's k=16
+    # insertion buffer has the same failure class
+    # (gutKBufferRenderer.cuh:28-85). Use the exact oracle path when
+    # per-pixel worst-case order matters.
     k_buffer_passes: int = 0
     ray_jitter: bool = False      # sub-pixel AA jitter during training
     # Train-step backward only: (a) round the per-slot cotangent reorder to
@@ -130,12 +139,15 @@ class DatasetConfig:
     downsample_factor: int = 1
     test_split_interval: int = 8          # colmap val split
     bg_color: Optional[Tuple[float, float, float]] = None
-    # Sensor shutter model applied to every view (reference drives this from
-    # sensor metadata, threedgut_tracer/tracer.py:138-151 + camera_models.py
+    # Sensor shutter model (reference drives this from per-camera sensor
+    # metadata, threedgut_tracer/tracer.py:138-151 + camera_models.py
     # ShutterType; COLMAP/NeRF formats carry no timestamps, so start==end
-    # pose unless the dataset supplies per-frame end poses): one of
-    # global | rolling_top_to_bottom | rolling_left_to_right |
-    # rolling_bottom_to_top | rolling_right_to_left.
+    # pose unless the dataset supplies per-frame end poses). Either one
+    # name applied to every sensor — global | rolling_top_to_bottom |
+    # rolling_left_to_right | rolling_bottom_to_top |
+    # rolling_right_to_left — or a per-camera-id mapping for multi-sensor
+    # COLMAP rigs, as "1:global,2:rolling_top_to_bottom" (dotted-override
+    # friendly) or a {camera_id: name} dict programmatically.
     shutter_type: str = "global"
 
 

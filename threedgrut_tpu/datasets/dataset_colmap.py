@@ -57,11 +57,15 @@ class ColmapDataset:
                  downsample_factor: int = 1, test_split_interval: int = 8,
                  sparse_subdir: Optional[str] = None,
                  images_subdir: Optional[str] = None,
-                 shutter_type: str = "global"):
-        from threedgrut_tpu.datasets.protocols import parse_shutter
+                 shutter_type="global"):
+        from threedgrut_tpu.datasets.protocols import parse_shutter_spec
         self.path = path
         self.downsample = downsample_factor
-        self.shutter = parse_shutter(shutter_type)
+        # Global name, {camera_id: name} dict, or "1:global,2:rolling_..."
+        # string — per-SENSOR shutter metadata for multi-camera rigs
+        # (reference: per-camera sensor models carry the shutter,
+        # threedgut_tracer/tracer.py:138-151).
+        self.shutter = parse_shutter_spec(shutter_type)
         sparse = sparse_subdir or self._find_sparse(path)
         cams, images, self.points, self.point_colors = colmap.load_sparse(
             os.path.join(path, sparse))
@@ -138,10 +142,12 @@ class ColmapDataset:
         img = img[..., :3]
         h, w = img.shape[:2]
         cam = self.cameras[im.camera_id]
-        from threedgrut_tpu.datasets.protocols import apply_shutter
+        from threedgrut_tpu.datasets.protocols import (apply_shutter,
+                                                       shutter_for_camera)
         view = apply_shutter(
             View(T_to_world=self._poses[idx], camera=cam,
-                 resolution=(w, h), rgb_gt=img), self.shutter)
+                 resolution=(w, h), rgb_gt=img),
+            shutter_for_camera(self.shutter, im.camera_id))
         self._cache[idx] = view
         return view
 

@@ -50,6 +50,35 @@ def parse_shutter(name) -> ShutterType:
     return ShutterType[str(name).strip().upper()]
 
 
+def parse_shutter_spec(spec):
+    """Shutter config -> ShutterType OR {camera_id: ShutterType}.
+
+    Accepts the single-sensor form ('rolling_top_to_bottom'), an explicit
+    mapping ({1: 'global', 2: 'rolling_top_to_bottom'}), or the dotted-
+    override string form '1:global,2:rolling_top_to_bottom' — per-sensor
+    shutter metadata like the reference's per-camera sensor models
+    (threedgut_tracer/tracer.py:138-151 builds per-frame pose pairs from
+    each sensor's shutter/timestamps)."""
+    if isinstance(spec, dict):
+        return {int(k): parse_shutter(v) for k, v in spec.items()}
+    s = str(spec)
+    if ":" in s:
+        out = {}
+        for part in s.split(","):
+            cid, name = part.split(":")
+            out[int(cid.strip())] = parse_shutter(name)
+        return out
+    return parse_shutter(s)
+
+
+def shutter_for_camera(spec, camera_id: int) -> ShutterType:
+    """Resolve a parse_shutter_spec result for one sensor (default GLOBAL
+    for camera ids the mapping does not name)."""
+    if isinstance(spec, dict):
+        return spec.get(int(camera_id), ShutterType.GLOBAL)
+    return spec
+
+
 def apply_shutter(view: View, shutter: ShutterType) -> View:
     """Stamp a shutter model on a view. COLMAP/NeRF formats carry no pose
     timestamps, so start == end pose (the reference does exactly this when

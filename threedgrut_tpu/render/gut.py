@@ -28,6 +28,39 @@ from threedgrut_tpu.render.gut_reference import (
 )
 
 
+@jax.custom_vjp
+def _eval_only_guard(x, anchor):
+    """Identity on `x` whose backward REFUSES to trace.
+
+    `render(hit_visibility=True)` has no VJP (the kernel's contributed-bit
+    leg stop-gradients its inputs; training derives the same bit from
+    nonzero grads, trainer.py). The compute path through the kernel is
+    already severed, so a caller differentiating the outputs would silently
+    get zero gradients — `anchor` re-ties the outputs to the differentiable
+    inputs through THIS op only, so jax.grad raises at trace time instead.
+    """
+    del anchor
+    return x
+
+
+def _eval_only_guard_fwd(x, anchor):
+    del anchor
+    return x, None
+
+
+def _eval_only_guard_bwd(_, g):
+    raise ValueError(
+        "gut.render(hit_visibility=True) is eval-only and cannot be "
+        "differentiated: the hit-based visibility leg stops gradients "
+        "through the compositor. For training, use hit_visibility=False; "
+        "the trainer derives the same contributed bit from nonzero "
+        "parameter gradients (see Trainer._step)."
+    )
+
+
+_eval_only_guard.defvjp(_eval_only_guard_fwd, _eval_only_guard_bwd)
+
+
 def pad_to_tiles(resolution: Tuple[int, int]) -> Tuple[int, int]:
     w, h = resolution
     return (-(-w // C.TILE_X) * C.TILE_X, -(-h // C.TILE_Y) * C.TILE_Y)
@@ -190,7 +223,8 @@ def render(
     emits a per-slot contributed bit (w > 0 at some pixel — reference
     referenceOptix.cu:158-161 / gutProjector.cuh:275) reduced per particle,
     so occluded/culled particles report invisible. EVAL-ONLY: this leg has
-    no VJP (training derives the same bit from nonzero gradients for free,
+    no VJP — differentiating through the outputs raises ValueError at trace
+    time (training derives the same bit from nonzero gradients for free,
     trainer.py). Costs one extra per-slot write + a [cap] 2-op sort.
     """
     w, h = resolution
@@ -238,6 +272,10 @@ def render(
 
     img = tile_unpack(out, tile_grid)                          # [hp, wp, 8]
     img = img[:h, :w]
+    if hit_visibility:
+        # Loud error instead of silent zero grads; anchored on the packed
+        # slot data so any differentiable input reaches the guard.
+        img = _eval_only_guard(img, data_sorted)
     rgb = img[..., 0:3]
     opacity = img[..., 3]
     depth = img[..., 4]
