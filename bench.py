@@ -104,6 +104,50 @@ def main():
         total = int(binning.num_intersections)
         tuned = max(256, -(-int(total * 1.15) // 256) * 256)
         cap = min(cap, tuned)
+    # BENCH_INFER=1: render-only throughput (the reference's eval FPS
+    # column, README.md:250-306 — no loss/backward/Adam). Same scene and
+    # capacity as the train-step metric so the two are comparable.
+    if _os.environ.get("BENCH_INFER"):
+        from threedgrut_tpu.cameras import pose_from_matrix
+        from threedgrut_tpu.render import gut
+
+        @jax.jit
+        def render_only(g, T_):
+            pose = pose_from_matrix(T_)
+            out, ovf = gut.render(
+                g.get_positions(), g.get_rotation(), g.get_scale(),
+                g.get_density(), g.get_features(), cam, pose, res, cap,
+                sorted_passes=sorted_passes, T_to_world=T_)
+            return out.rgb, ovf
+
+        rgb, ovf = render_only(params, T)
+        np.asarray(rgb[:1, :1])
+        overflow = bool(ovf)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            # Chain an O(1) data dependency so frames serialize on device.
+            rgb, ovf = render_only(params.replace(
+                density=params.density + 0.0 * rgb[0, 0, 0]), T)
+        np.asarray(rgb[:1, :1])
+        dt = time.perf_counter() - t0
+        rays_per_s = res[0] * res[1] * iters / dt
+        print(json.dumps({
+            "metric": "rays_per_s_infer_1M_gaussians" if on_tpu
+                      else "rays_per_s_infer_cpu_smoke",
+            "value": round(rays_per_s, 1),
+            "unit": "rays/s/chip",
+            "fps": round(iters / dt, 2),
+            "backend": jax.default_backend(),
+            "n_gaussians": n,
+            "resolution": list(res),
+            "iters": iters,
+            "isect_capacity": cap,
+            "isect_overflow": overflow,
+            "sorted_passes": sorted_passes,
+            "frame_ms": round(1000.0 * dt / iters, 2),
+        }))
+        return
+
     step = make_step(cap)
     # The train step donates its inputs; always chain through the returns.
     p, o, aux = step(params, opt)

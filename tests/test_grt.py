@@ -200,17 +200,16 @@ def test_twolevel_culling_matches_single_level():
 
     cap = 96
     bundles = grt.make_bundles(o, d, 256)
-    ci1, cm1, ovf1, vis1 = grt.bundle_candidates(pos, radius, valid,
+    ci1, cn1, ovf1, vis1 = grt.bundle_candidates(pos, radius, valid,
                                                  bundles, cap)
-    ci2, cm2, ovf2, vis2 = grt.bundle_candidates_twolevel(
+    ci2, cn2, ovf2, vis2 = grt.bundle_candidates_twolevel(
         pos, radius, valid, o, d, 256, cap, super_mult=16,
         super_capacity=96)
     assert not bool(ovf1) and not bool(ovf2)
-    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm2))
-    cm = np.asarray(cm1)
+    np.testing.assert_array_equal(np.asarray(cn1), np.asarray(cn2))
     a1, a2 = np.asarray(ci1), np.asarray(ci2)
     for b in range(32):
-        k = int(cm[b].sum())
+        k = int(np.asarray(cn1)[b])
         assert set(a1[b, :k]) == set(a2[b, :k]), b
     # Super-level visibility is a superset of bundle-level visibility.
     assert not np.any(np.asarray(vis1) & ~np.asarray(vis2))
@@ -409,11 +408,11 @@ def test_surfel_normals():
     assert np.isfinite(n).all()
 
 
-def test_tiered_capacity_matches_untiered():
-    """Tiered bundle capacity (grt._trace_bundle_kernel tier split) must be
-    a pure perf transform: identical outputs and gradients to the
-    single-tier path when no tier overflows, with the overflow flag
-    raised when a low-tier bundle's count exceeds its capacity."""
+def test_flat_capacity_matches_dense():
+    """The flat-compacted candidate layout (grt.flatten_candidates) must be
+    a pure perf transform: a TIGHT flat capacity produces bit-identical
+    outputs and gradients to the dense worst-case layout when the flat
+    total fits, and raises the overflow flag when it does not."""
     pos, quat, scale, opa, feats = random_scene(n=64, seed=19)
     # 8 bundles: uneven loads — aim half the bundles away from the scene.
     rng = np.random.default_rng(4)
@@ -432,22 +431,23 @@ def test_tiered_capacity_matches_untiered():
 
     kw = dict(candidate_capacity=128, order="bundle", sorted_passes=0)
 
-    def run(**tier):
+    def run(flat_capacity):
         def f(opa):
-            out = grt.trace(pos, quat, scale, opa, feats, o, d, **kw, **tier)
+            out = grt.trace(pos, quat, scale, opa, feats, o, d, **kw,
+                            flat_capacity=flat_capacity)
             return jnp.sum(out.rgb ** 2) + jnp.sum(out.opacity), out
         (loss, out), g = jax.value_and_grad(f, has_aux=True)(opa)
         return loss, out, g
 
-    l0, out0, g0 = run(tier_lo_capacity=0)
-    l1, out1, g1 = run(tier_lo_capacity=128, tier_hi_count=3)
-    assert not bool(out1.overflow)
+    l0, out0, g0 = run(flat_capacity=None)       # dense worst case 8*128
+    l1, out1, g1 = run(flat_capacity=512)        # tight
+    assert not bool(out0.overflow) and not bool(out1.overflow)
     np.testing.assert_array_equal(np.asarray(out0.rgb), np.asarray(out1.rgb))
     np.testing.assert_array_equal(np.asarray(out0.depth),
                                   np.asarray(out1.depth))
-    # Gradients: tiering splits the per-particle reduction into two
-    # segment sums added together — f32 summation-order jitter only,
-    # bounded relative to the gradient scale.
-    a, b = np.asarray(g1), np.asarray(g0)
-    np.testing.assert_allclose(a, b, rtol=2e-4,
-                               atol=5e-6 * np.abs(b).max())
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+    # Too tight -> overflow flagged (bundles past the capacity render
+    # empty; a straddling bundle keeps its nearest candidates).
+    _, out2, _ = run(flat_capacity=128)
+    assert bool(out2.overflow)

@@ -139,12 +139,12 @@ def _grt_gates(q):
     return (q["vdotu"] < 0.0) & (q["g"] <= C.MAX_PARTICLE_SQ_DISTANCE)
 
 
-def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
-                    sh_degree, wpb, min_transmittance, min_response,
-                    min_alpha, max_alpha, sorted_passes=0):
+def _forward_kernel(wstarts_ref, wends_ref, data_hbm, rays_ref, out_ref,
+                    dbuf, sem, *, degree, sh_degree, min_transmittance,
+                    min_response, min_alpha, max_alpha, sorted_passes=0):
     b = pl.program_id(0)
-    w0 = b * wpb
-    w1 = w0 + wpb
+    w0 = wstarts_ref[b]
+    w1 = wends_ref[b]
 
     rays = rays_ref[0]
     t0 = rays[7, :][None, :]
@@ -215,18 +215,19 @@ def _forward_kernel(data_hbm, rays_ref, out_ref, dbuf, sem, *, degree,
             dma(wf + k, (wf + k) % _N_DBUF).wait()
 
 
-def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
-                     gdata_hbm, dbuf, wbuf, sem, wsem, wstate, *, degree,
-                     sh_degree, wpb, min_transmittance, min_response,
-                     min_alpha, max_alpha, sorted_passes=0):
+def _backward_kernel(wstarts_ref, wends_ref, data_hbm, rays_ref, fwd_ref,
+                     gout_ref, zeros_hbm, gdata_hbm, dbuf, wbuf, sem, wsem,
+                     wstate, *, degree, sh_degree, min_transmittance,
+                     min_response, min_alpha, max_alpha, sorted_passes=0):
     """Front-to-back re-walk with the suffix-residual trick (tile_raster
     _backward_kernel); SH-coefficient gradients are basis-contracted MXU
-    matmuls. Gradient windows are bundle-exclusive (no boundary sharing),
-    written through an overlapped ring."""
+    matmuls. Gradient windows are bundle-exclusive (window ranges are
+    CHUNK-aligned and disjoint across bundles), written through an
+    overlapped ring; the pre-zeroed donor covers skipped/tail windows."""
     del zeros_hbm
     b = pl.program_id(0)
-    w0 = b * wpb
-    w1 = w0 + wpb
+    w0 = wstarts_ref[b]
+    w1 = wends_ref[b]
 
     @pl.when(b == 0)
     def _():
@@ -396,10 +397,12 @@ def _backward_kernel(data_hbm, rays_ref, fwd_ref, gout_ref, zeros_hbm,
             wait_write(s)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def bundle_composite(
-    data: jnp.ndarray,          # [nb * C, ROW64] packed candidate rows
+    data: jnp.ndarray,          # [capF, ROW64] packed candidate rows (flat)
     rays: jnp.ndarray,          # [nb, 8, 256]
+    win_starts: jnp.ndarray,    # [nb] int32 first window of each bundle
+    win_ends: jnp.ndarray,      # [nb] int32 one-past-last window
     degree: int,
     sh_degree: int,
     min_transmittance: float,
@@ -410,16 +413,21 @@ def bundle_composite(
 ) -> jnp.ndarray:
     """Returns [nb, 8, 256] forward buffer (see module docstring).
 
-    The candidate axis length (data rows per bundle) must be a multiple of
-    CHUNK; candidates must be depth-ascending along the bundle axis with
-    masked slots carrying opacity 0. No gradient flows to `rays` (ray
-    positions are inputs of the caller's raygen, differentiated there when
-    needed via the jnp path). `sorted_passes` > 0 composites each ray in
-    per-ray re-sorted hit order (odd-even transposition bounded at that many
-    positions per 128-candidate window — the fast-path analogue of the
-    reference's per-ray sorted k=16 hit buffer)."""
-    return _forward(data, rays, degree, sh_degree, min_transmittance,
-                    min_response, min_alpha, max_alpha, sorted_passes)
+    Candidates live in ONE flat row array; bundle b walks windows
+    [win_starts[b], win_ends[b]) of the [W, ROW64, CHUNK] window layout —
+    per-bundle ranges are CHUNK-aligned and disjoint (the flat-compacted
+    layout built by render/grt.flatten_candidates; the former dense
+    [nb, cap] layout is the special case starts = b*cap/CHUNK). data rows
+    must be a multiple of CHUNK; candidates depth-ascending within each
+    bundle with masked/pad slots carrying opacity 0. No gradient flows to
+    `rays` (ray positions are inputs of the caller's raygen, differentiated
+    there when needed via the jnp path). `sorted_passes` > 0 composites each
+    ray in per-ray re-sorted hit order (odd-even transposition bounded at
+    that many positions per 128-candidate window — the fast-path analogue
+    of the reference's per-ray sorted k=16 hit buffer)."""
+    return _forward(data, rays, win_starts, win_ends, degree, sh_degree,
+                    min_transmittance, min_response, min_alpha, max_alpha,
+                    sorted_passes)
 
 
 def _to_windows(data: jnp.ndarray) -> jnp.ndarray:
@@ -428,72 +436,74 @@ def _to_windows(data: jnp.ndarray) -> jnp.ndarray:
     return data.reshape(rows // CHUNK, CHUNK, ROW64).transpose(0, 2, 1)
 
 
-def _forward(data, rays, degree, sh_degree, min_transmittance, min_response,
-             min_alpha, max_alpha, sorted_passes=0):
+def _forward(data, rays, win_starts, win_ends, degree, sh_degree,
+             min_transmittance, min_response, min_alpha, max_alpha,
+             sorted_passes=0):
     nb = rays.shape[0]
     wdata = _to_windows(data)
-    wpb = wdata.shape[0] // nb
-    assert wpb * nb == wdata.shape[0]
     kern = functools.partial(
-        _forward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
+        _forward_kernel, degree=degree, sh_degree=sh_degree,
         min_transmittance=min_transmittance, min_response=min_response,
         min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes)
-    return pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, PIX), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_N_DBUF, ROW64, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((_N_DBUF,)),
         ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 8, PIX), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_should_interpret(),
-    )(wdata, rays)
+    )(win_starts, win_ends, wdata, rays)
 
 
-def _fwd_rule(data, rays, degree, sh_degree, min_transmittance, min_response,
-              min_alpha, max_alpha, sorted_passes=0):
-    out = _forward(data, rays, degree, sh_degree, min_transmittance,
-                   min_response, min_alpha, max_alpha, sorted_passes)
-    return out, (data, rays, out)
+def _fwd_rule(data, rays, win_starts, win_ends, degree, sh_degree,
+              min_transmittance, min_response, min_alpha, max_alpha,
+              sorted_passes=0):
+    out = _forward(data, rays, win_starts, win_ends, degree, sh_degree,
+                   min_transmittance, min_response, min_alpha, max_alpha,
+                   sorted_passes)
+    return out, (data, rays, win_starts, win_ends, out)
 
 
 def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
               max_alpha, sorted_passes, res, g_out):
-    data, rays, out = res
+    data, rays, win_starts, win_ends, out = res
     nb = rays.shape[0]
     wdata = _to_windows(data)
-    wpb = wdata.shape[0] // nb
     kern = functools.partial(
-        _backward_kernel, degree=degree, sh_degree=sh_degree, wpb=wpb,
+        _backward_kernel, degree=degree, sh_degree=sh_degree,
         min_transmittance=min_transmittance, min_response=min_response,
         min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes)
-    zeros = jnp.zeros(wdata.shape, jnp.float32)
-    g_windows = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PIX), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_N_DBUF, ROW64, CHUNK), jnp.float32),
             pltpu.VMEM((_N_WBUF, ROW64, CHUNK), jnp.float32),
@@ -501,13 +511,21 @@ def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
             pltpu.SemaphoreType.DMA((_N_WBUF,)),
             pltpu.SMEM((1 + _N_WBUF,), jnp.int32),
         ],
+    )
+    zeros = jnp.zeros(wdata.shape, jnp.float32)
+    g_windows = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(wdata.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        input_output_aliases={4: 0},
+        # Donor index counts after the 2 scalar-prefetch operands:
+        # data, rays, out, g_out, zeros -> 6; aliased into the output.
+        input_output_aliases={6: 0},
         interpret=_should_interpret(),
-    )(wdata, rays, out, g_out, zeros)
+    )(win_starts, win_ends, wdata, rays, out, g_out, zeros)
     g_data = g_windows.transpose(0, 2, 1).reshape(-1, ROW64)
-    return g_data, None
+    return g_data, None, None, None
 
 
 bundle_composite.defvjp(_fwd_rule, _bwd_rule)

@@ -318,7 +318,7 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
                     *rest, degree, min_transmittance, min_response,
                     min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
                     aux_outputs=True, emit_flags=False,
-                    row_termination=False):
+                    row_termination=False, census=False):
     """With `emit_flags`, a second [W, 8, CHUNK] output carries the per-slot
     contributed bit in row 0 (w_ > 0 for any pixel of the owning tile —
     reference semantics: the hit-accepted particle flag,
@@ -389,7 +389,7 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
             fstate[2 + fs] = -1
 
     def body(state):
-        g, _ = state
+        g = state[0]
         slot = g % _N_DBUF
         dma(g, slot).wait()
 
@@ -473,17 +473,50 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
             nxt = ((g + 1) * GROUP * CHUNK).astype(jnp.float32)
             needed = needed & (rays[7, :] >= nxt)
         alive = jnp.any(needed)
+        if census:
+            # Slots walked while MORE than 128 / 64 pixels were still
+            # unsaturated — the lane-compaction sizing census (a half-width
+            # window pass can only help slots walked at <= 128 alive).
+            # Counted at window END (one-window off vs the start state).
+            c128, c64 = state[2], state[3]
+            cnt = jnp.sum(needed.astype(jnp.int32))
+            ws = GROUP * CHUNK
+            in_rng = (jnp.clip((g + 1) * ws, start, end)
+                      - jnp.clip(g * ws, start, end))
+            c128 = c128 + jnp.where(cnt > 128, in_rng, 0)
+            c64 = c64 + jnp.where(cnt > 64, in_rng, 0)
+            return g + 1, alive, c128, c64
         return g + 1, alive
 
     def cond(state):
-        g, alive = state
-        return (g < g1) & alive
+        return (state[0] < g1) & state[1]
 
     alive0 = jnp.bool_(True)
     if row_termination:
         alive0 = jnp.any(rays[7, :] >= (g0 * GROUP * CHUNK)
                          .astype(jnp.float32))
-    gf, _ = jax.lax.while_loop(cond, body, (g0, alive0))
+    state0 = ((g0, alive0, jnp.int32(0), jnp.int32(0)) if census
+              else (g0, alive0))
+    fin = jax.lax.while_loop(cond, body, state0)
+    gf = fin[0]
+
+    # Free diagnostics in the pad row: lane 0 = slots this tile actually
+    # WALKED (early exit stops at gf); with `census`, lane 1/2 = slots
+    # walked while alive>128 / alive>64, lane 3 = final unsaturated pixel
+    # count. Consumed by tools/bench_stages.py; nothing downstream reads
+    # row 7.
+    walked = (jnp.clip(gf * GROUP * CHUNK, start, end)
+              - start).astype(jnp.float32)
+    if census:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (PIX,), 0)
+        unsat = jnp.sum((out_ref[0, 5, :]
+                         > min_transmittance).astype(jnp.float32))
+        row7 = jnp.where(lane == 1, fin[2].astype(jnp.float32), walked)
+        row7 = jnp.where(lane == 2, fin[3].astype(jnp.float32), row7)
+        row7 = jnp.where(lane == 3, unsat, row7)
+        out_ref[0, 7, :] = row7
+    else:
+        out_ref[0, 7, :] = jnp.full((PIX,), walked)
 
     # Early exit may leave up to PREFETCH started-but-unconsumed DMAs (the
     # invariant is: groups gf..min(g1, gf+PREFETCH)-1 are in flight); drain
@@ -838,9 +871,11 @@ def tile_composite(
 def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
              sorted_passes=0, has_t_max=True, aux_outputs=True,
-             emit_flags=False, row_termination=False):
+             emit_flags=False, row_termination=False, census=False):
     """With emit_flags, returns (out, flags_slot [capP] f32 0/1 per-slot
-    contributed bit); the flags leg has NO vjp (eval-only callers)."""
+    contributed bit); the flags leg has NO vjp (eval-only callers).
+    `census` swaps output row 7 to the lane-compaction sizing counters
+    (probe-only; see _forward_kernel)."""
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
@@ -848,7 +883,7 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
         aux_outputs=aux_outputs, emit_flags=emit_flags,
-        row_termination=row_termination)
+        row_termination=row_termination, census=census)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
         pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),

@@ -133,8 +133,8 @@ def bundle_candidates(
 ):
     """Conservative cone test + per-bundle compaction.
 
-    Returns (cand_idx [nb, capacity] int32, cand_mask [nb, capacity] bool,
-    overflow [] bool, visibility [N] bool)."""
+    Returns (cand_idx [nb, capacity] int32 depth-ascending, counts [nb]
+    int32 clamped to capacity, overflow [] bool, visibility [N] bool)."""
     hit, t_ax = _cone_hit(positions, radius, valid, bundles)
 
     counts = jnp.sum(hit.astype(jnp.int32), axis=1)            # [nb]
@@ -149,10 +149,8 @@ def bundle_candidates(
     if k < capacity:                                           # N < capacity
         cand_idx = jnp.pad(cand_idx, ((0, 0), (0, capacity - k)))
     cand_idx = cand_idx.astype(jnp.int32)
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    cand_mask = slot[None, :] < jnp.minimum(counts, capacity)[:, None]
     visibility = jnp.any(hit, axis=0)
-    return cand_idx, cand_mask, overflow, visibility
+    return cand_idx, jnp.minimum(counts, capacity), overflow, visibility
 
 
 def _morton_16(u: jnp.ndarray) -> jnp.ndarray:
@@ -252,7 +250,10 @@ def bundle_candidates_twolevel(
     the single-level bundle visibility, still a superset of true hit
     visibility (the trainer ANDs it with the nonzero-gradient hit test).
 
-    Returns (cand_idx [nb, capacity] i32, cand_mask, overflow, visibility).
+    Returns (cand_idx [nb, L] i32 depth-ascending per bundle, counts [nb]
+    i32 clamped to L = min(capacity, super list width), overflow,
+    visibility). With capacity >= the super width, no level-2 truncation
+    occurs at all (the flat layout sizes itself from `counts`).
     """
     n = positions.shape[0]
     r_total = rays_o.shape[0]
@@ -315,15 +316,70 @@ def bundle_candidates_twolevel(
     key2 = jnp.where(hit2, t_ax, jnp.inf)
     gid = jnp.broadcast_to(sup_idx[:, None, :], key2.shape)
     _, gid_sorted = jax.lax.sort((key2, gid), num_keys=1, dimension=-1)
-    cand_idx = gid_sorted[..., :capacity].reshape(nb, capacity)
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    cand_mask = (slot[None, :]
-                 < jnp.minimum(counts2, capacity).reshape(nb)[:, None])
+    keep = min(capacity, s_cap)
+    cand_idx = gid_sorted[..., :keep].reshape(nb, keep)
+    counts = jnp.minimum(counts2, keep).reshape(nb)
     iperm = jnp.zeros((nb,), jnp.int32).at[perm].set(
         jnp.arange(nb, dtype=jnp.int32))
-    cand_idx = cand_idx[iperm]
-    cand_mask = cand_mask[iperm]
-    return cand_idx, cand_mask, overflow, visibility
+    return cand_idx[iperm], counts[iperm], overflow, visibility
+
+
+def flatten_candidates(cand_idx: jnp.ndarray, counts: jnp.ndarray,
+                       flat_capacity: int):
+    """Per-bundle padded candidate lists -> ONE flat CHUNK-aligned layout.
+
+    The dense [nb, cap] layout pads every bundle to the max candidate count
+    (2.4x the true total at the bench scene), and every per-slot stage (the
+    row gather, its backward unsort, the kernel windows, the segment sum)
+    scales with the padded slot count. Here each bundle occupies exactly
+    ceil(counts[b]/CHUNK)*CHUNK contiguous rows — the same contiguous-range
+    design as the 3DGUT tile binning (ops/tiles.py), with overflow reported
+    as data. The reference's BVH gets this adaptivity per ray from
+    traversal; this is its bulk-synchronous analogue (replaces the round-3
+    two-tier capacity split, which bought only ~1.6x).
+
+    cand_idx: [nb, L] particle ids, depth-ascending per bundle (entries at
+    j >= counts[b] are ignored). Returns (flat_idx [capF] i32, valid [capF]
+    bool, win_starts [nb] i32, win_ends [nb] i32, overflow [] bool). Under
+    overflow, bundles whose rows fall past capF render empty (a straddling
+    bundle keeps its nearest candidates) — strictly flagged, like the tile
+    binning's truncation.
+    """
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    ch = bundle_trace.CHUNK
+    capF = int(flat_capacity)
+    assert capF % ch == 0, f"flat_capacity {capF} not a multiple of {ch}"
+    nb, L = cand_idx.shape
+    lp = -(-L // ch) * ch
+    if lp != L:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, lp - L)))
+    counts = jnp.minimum(counts.astype(jnp.int32), L)
+    padded = jnp.minimum(-(-counts // ch) * ch, lp)
+    offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    total = offsets[-1] + padded[-1]
+    overflow = total > capF
+    nw = capF // ch
+
+    # Per-slot bundle quantities WITHOUT a searchsorted/gather: scatter each
+    # bundle's value at its start offset (values are ascending in b, and a
+    # scatter-max resolves empty-bundle offset collisions toward the later
+    # bundle, whose slots those are), then a running max fills the segment.
+    f = jnp.arange(capF, dtype=jnp.int32)
+    delta = jnp.arange(nb, dtype=jnp.int32) * lp - offsets   # src row shift
+    ve = offsets + counts                                    # valid end
+    off_c = jnp.clip(offsets, 0, capF - 1)
+    delta_of = jnp.zeros((capF,), jnp.int32).at[off_c].max(delta + 1)
+    ve_of = jnp.zeros((capF,), jnp.int32).at[off_c].max(ve + 1)
+    delta_of = jax.lax.cummax(delta_of) - 1
+    ve_of = jax.lax.cummax(ve_of) - 1
+    valid = f < ve_of
+    src = jnp.clip(f + delta_of, 0, nb * lp - 1)
+    flat_idx = jnp.where(valid, cand_idx.reshape(-1)[src], 0)
+    win_starts = jnp.minimum(offsets // ch, nw).astype(jnp.int32)
+    win_ends = jnp.minimum((offsets + padded) // ch, nw).astype(jnp.int32)
+    return flat_idx, valid, win_starts, win_ends, overflow
 
 
 def pack_rows64(positions, quats, scales, opacities, features) -> jnp.ndarray:
@@ -368,8 +424,7 @@ def trace(
     surfel: bool = False,
     sorted_passes: int = C.GRT_SORTED_PASSES,
     super_capacity: int = 8192,
-    tier_lo_capacity: int | None = None,
-    tier_hi_count: int | None = None,
+    flat_capacity: int | None = None,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -389,7 +444,12 @@ def trace(
         inside a 128-candidate window). sorted_passes=0 composites in raw
         bundle order (the round-2 behavior).
       * "ray": exact per-ray sort (the oracle path; ~100x slower — used by
-        tests, normals rendering, and incoherent secondary bounces)."""
+        tests, normals rendering, and incoherent secondary bounces).
+
+    `flat_capacity` (fast path only) bounds the TOTAL flat candidate rows
+    across all bundles (flatten_candidates); None = the dense worst case
+    nb*candidate_capacity. Overflow is reported as data — grow and retrace
+    like the 3DGUT isect_capacity."""
     r_total = rays_o.shape[0]
     assert r_total % bundle_size == 0
     nb = r_total // bundle_size
@@ -410,23 +470,29 @@ def trace(
     super_mult = 16
     if (positions.shape[0] > super_capacity
             and nb % super_mult == 0 and nb >= 2 * super_mult):
-        cand_idx, cand_mask, overflow, visibility = \
+        cand_idx, cand_counts, overflow, visibility = \
             bundle_candidates_twolevel(
                 positions, radius, valid, rays_o, d_safe, bundle_size,
                 candidate_capacity, super_mult=super_mult,
                 super_capacity=super_capacity)
     else:
         bundles = make_bundles(rays_o, d_safe, bundle_size)
-        cand_idx, cand_mask, overflow, visibility = bundle_candidates(
+        cand_idx, cand_counts, overflow, visibility = bundle_candidates(
             positions, radius, valid, bundles, candidate_capacity)
 
     if (order == "bundle" and not return_normals and bundle_size == 256
             and not surfel):
         return _trace_bundle_kernel(
             positions, quats, scales, opacities, features, rays_o, rays_dn,
-            active, cand_idx, cand_mask, overflow, visibility, sh_degree,
+            active, cand_idx, cand_counts, overflow, visibility, sh_degree,
             kernel_degree, min_transmittance, initial_transmittance, t_max,
-            sorted_passes, tier_lo_capacity, tier_hi_count)
+            sorted_passes, flat_capacity)
+    # Oracle ("ray") path: dense per-bundle lists, truncated to capacity
+    # (nearest-first — lists are depth-ascending).
+    keepc = min(candidate_capacity, cand_idx.shape[1])
+    cand_idx = cand_idx[:, :keepc]
+    cand_mask = (jnp.arange(keepc, dtype=jnp.int32)[None, :]
+                 < jnp.minimum(cand_counts, keepc)[:, None])
 
     o_b = rays_o.reshape(nb, bundle_size, 3)
     d_b = rays_dn.reshape(nb, bundle_size, 3)
@@ -509,36 +575,33 @@ def trace(
 
 
 def _trace_bundle_kernel(positions, quats, scales, opacities, features,
-                         rays_o, rays_dn, active, cand_idx, cand_mask,
+                         rays_o, rays_dn, active, cand_idx, cand_counts,
                          overflow, visibility, sh_degree, kernel_degree,
                          min_transmittance, initial_transmittance, t_max,
-                         sorted_passes=0, tier_lo_capacity=None,
-                         tier_hi_count=None):
-    """Fast path: gather candidate rows (scatter-free VJP) and run the
-    Pallas bundle compositor (ops/pallas/bundle_trace.py).
+                         sorted_passes=0, flat_capacity=None):
+    """Fast path: flat-compact the per-bundle candidate lists
+    (flatten_candidates), gather candidate rows once (scatter-free VJP), and
+    run the Pallas bundle compositor over per-bundle window ranges.
 
-    Tiered capacity (auto when nb >= 64 and cap >= 512): candidate counts
-    vary widely across bundles (bench: mean 754, max 1549), but a single
-    static capacity pads every bundle to the max — and every downstream
-    per-slot stage (the gather, its backward segment-sum, kernel windows)
-    scales with nb*cap. Splitting bundles into a small full-capacity tier
-    (the `tier_hi_count` densest, by candidate count) and a half-capacity
-    tier for the rest cuts total slots ~1.5-1.8x at zero accuracy cost
-    while counts fit (tier truncation keeps the NEAREST candidates and
-    raises `overflow`, the same semantics as the single-tier capacity).
-    The reference's BVH gets this adaptivity per ray from traversal; this
-    is its bulk-synchronous analogue."""
+    Every per-slot stage (the gather, its backward unsort + segment sum,
+    the kernel windows) scales with the FLAT total — each bundle occupies
+    exactly ceil(count/CHUNK)*CHUNK rows instead of a shared static
+    capacity (2.4x padding at the bench scene; the round-3 two-tier split
+    recovered only ~1.6x of that and is subsumed by this layout).
+    `flat_capacity` defaults to the dense worst case nb*capacity (no new
+    overflow risk); benches/trainers pass a tuned value and grow on the
+    overflow flag like the 3DGUT isect_capacity."""
     from threedgrut_tpu.ops.pallas import bundle_trace
     from threedgrut_tpu.ops.sorted_gather import gather_rows
 
     nb, cap = cand_idx.shape
     r_total = rays_o.shape[0]
-    # The kernel walks CHUNK-aligned candidate windows.
-    pad = (-cap) % bundle_trace.CHUNK
-    if pad:
-        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, pad)))
-        cand_mask = jnp.pad(cand_mask, ((0, 0), (0, pad)))
-    capk = cand_idx.shape[1]
+    if flat_capacity is None:
+        flat_capacity = nb * (-(-cap // bundle_trace.CHUNK)
+                              * bundle_trace.CHUNK)
+    flat_idx, valid, win_starts, win_ends, ovf_flat = flatten_candidates(
+        cand_idx, cand_counts, flat_capacity)
+    overflow = overflow | ovf_flat
 
     rows64 = pack_rows64(positions, quats, scales, opacities, features)
 
@@ -553,38 +616,11 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
         tmx[:, None], t0[:, None]], axis=-1)                 # [R, 8]
     rays = rays_img.reshape(nb, 256, 8).transpose(0, 2, 1)   # [nb, 8, 256]
 
-    def run_tier(ci, cm, rays_t):
-        d = gather_rows(rows64, ci.reshape(-1))              # [nbt*ct, 64]
-        d = d.at[:, 12].multiply(cm.reshape(-1).astype(d.dtype))
-        return bundle_trace.bundle_composite(
-            d, rays_t, kernel_degree, sh_degree, min_transmittance,
-            sorted_passes=sorted_passes)
-
-    if tier_lo_capacity == 0:
-        tiered = False                       # explicit off
-    elif tier_lo_capacity is not None or tier_hi_count is not None:
-        tiered = nb >= 2                     # explicit on (tests, tuning)
-    else:
-        tiered = nb >= 64 and capk >= 512    # auto
-    if tiered:
-        cap_lo = tier_lo_capacity or (
-            (capk // 2 // bundle_trace.CHUNK) * bundle_trace.CHUNK)
-        nb_hi = tier_hi_count or max(1, nb // 4)
-        assert cap_lo % bundle_trace.CHUNK == 0 and 0 < cap_lo <= capk
-        assert 0 < nb_hi < nb
-        counts = jnp.sum(cand_mask.astype(jnp.int32), axis=1)
-        _, order_b = jax.lax.sort(
-            (-counts, jnp.arange(nb, dtype=jnp.int32)), num_keys=1)
-        hi_b, lo_b = order_b[:nb_hi], order_b[nb_hi:]
-        overflow = overflow | (jnp.max(counts[lo_b]) > cap_lo)
-        out_hi = run_tier(cand_idx[hi_b], cand_mask[hi_b], rays[hi_b])
-        out_lo = run_tier(cand_idx[lo_b][:, :cap_lo],
-                          cand_mask[lo_b][:, :cap_lo], rays[lo_b])
-        inv_b = jnp.zeros((nb,), jnp.int32).at[order_b].set(
-            jnp.arange(nb, dtype=jnp.int32))
-        out = jnp.concatenate([out_hi, out_lo], axis=0)[inv_b]
-    else:
-        out = run_tier(cand_idx, cand_mask, rays)
+    d = gather_rows(rows64, flat_idx)                        # [capF, 64]
+    d = d.at[:, 12].multiply(valid.astype(d.dtype))
+    out = bundle_trace.bundle_composite(
+        d, rays, win_starts, win_ends, kernel_degree, sh_degree,
+        min_transmittance, sorted_passes=sorted_passes)
 
     def unrow(i):
         return out[:, i, :].reshape(r_total)
@@ -650,6 +686,7 @@ def render(
     T_to_world: jnp.ndarray | None = None,
     density_clamping: bool = False,
     surfel: bool = False,
+    flat_capacity: int | None = None,
 ):
     """Camera render through the trace path (render.method = 3dgrt).
 
@@ -669,7 +706,8 @@ def render(
                 sh_degree, kernel_degree, min_transmittance,
                 bundle_size=C.TILE_SIZE,
                 candidate_capacity=candidate_capacity,
-                density_clamping=density_clamping, surfel=surfel)
+                density_clamping=density_clamping, surfel=surfel,
+                flat_capacity=flat_capacity)
 
     def unflat(x, ch=None):
         img = x.reshape(tile_grid[1] * tile_grid[0], C.TILE_SIZE, -1)

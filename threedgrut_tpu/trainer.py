@@ -61,6 +61,7 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 kernel_degree=cfg.render.particle_kernel_degree,
                 min_transmittance=cfg.render.min_transmittance,
                 candidate_capacity=isect_capacity // 256,
+                flat_capacity=isect_capacity,
                 T_to_world=T_to_world,
                 density_clamping=cfg.render.particle_kernel_density_clamping,
                 surfel=cfg.render.surfel_primitive)

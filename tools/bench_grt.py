@@ -2,6 +2,11 @@
 
 Prints one JSON line like bench.py. The reference's 3DGRT is ~2.4x slower
 than its 3DGUT (README.md: lego 360 vs 826 FPS) — expect a similar ratio.
+
+Env knobs:
+  BENCH_AUTOTUNE=1  probe true candidate counts, derive capacities
+  BENCH_GRT_1M=1    1M-Gaussian datapoint (BASELINE's metric scale)
+  BENCH_INFER=1     forward-only (inference/FPS column) instead of fwd+bwd
 """
 import os
 import sys
@@ -21,25 +26,36 @@ def main():
     from threedgrut_tpu.render import grt
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        # cand/super_cap follow bench.py's autotune convention: derived once
+    at_1m = bool(os.environ.get("BENCH_GRT_1M"))
+    infer = bool(os.environ.get("BENCH_INFER"))
+    if on_tpu and at_1m:
+        # 1M Gaussians (BASELINE.md's metric scale). Autotuned like below:
+        # the solid-ball scene means any cone covers ~20% of the scene, so
+        # the super list is large; flat total measured by the probe.
+        n, side, cand, iters = 1_000_000, 512, 24576, 10
+        super_cap = 231424
+        flat_cap = 9400576
+    elif on_tpu:
+        # Capacities follow bench.py's autotune convention: derived once
         # from the true per-level candidate counts of this fixed seeded
-        # scene (+~15% headroom, 256-aligned) via BENCH_AUTOTUNE=1, then
+        # scene (+headroom, 256-aligned) via BENCH_AUTOTUNE=1, then
         # hardcoded so the driver's timed run skips the probe compile.
         n, side, cand, iters = 100_000, 512, 1792, 10
         super_cap = 24320          # zero-truncation (probe max 22093 +10%)
-        cap_lo, nb_hi = 1152, 199  # tier split (probe p75+10%, dense+20%)
+        flat_cap = 888832          # flat total (probe 807936 +10%, 256-al.)
     else:
         n, side, cand, iters = 2_000, 64, 256, 2
         super_cap = 1024
-        cap_lo, nb_hi = None, None
+        flat_cap = None
     n_rays = side * side
 
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    s = jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
+    scale_rng = (0.004, 0.02) if at_1m else (0.01, 0.05)
+    s = jnp.asarray(np.exp(rng.uniform(np.log(scale_rng[0]),
+                                       np.log(scale_rng[1]),
                                        (n, 3))).astype(np.float32))
     opa = jnp.full((n,), 0.5, jnp.float32)
     feats = np.zeros((n, 16, 3), np.float32)
@@ -75,56 +91,72 @@ def main():
             sup = grt.make_super_bundles(bundles, perm, 16)
             hit1, _ = grt._cone_hit(pos, radius, valid, sup)
             c1 = jnp.max(jnp.sum(hit1.astype(jnp.int32), axis=1))
-            ci, cm, ovf, _ = grt.bundle_candidates_twolevel(
-                pos, radius, valid, o, d, 256, 4096,
+            ci, counts, ovf, _ = grt.bundle_candidates_twolevel(
+                pos, radius, valid, o, d, 256, int(n),
                 super_capacity=int(n))
-            return c1, jnp.sum(cm.astype(jnp.int32), axis=1)
+            return c1, counts
         c1, counts = probe(pos, opa)
         counts = np.asarray(counts)
         up = lambda x, h, a=256: -(-int(int(x) * h) // a) * a
         super_cap, cand = up(c1, 1.10), up(counts.max(), 1.15)
-        # Tier split: low tier sized at the ~75th percentile count
-        # (128-aligned); high tier takes every denser bundle + 20% margin.
-        cap_lo = up(np.quantile(counts, 0.75), 1.10, a=128)
-        nb_hi = min(len(counts) - 1,
-                    max(1, int(np.sum(counts > cap_lo) * 1.2)))
-        print({"probe_super_max": int(c1), "probe_cand_max": int(counts.max()),
+        ch = 128
+        flat_total = int(np.sum(-(-counts // ch) * ch))
+        flat_cap = up(flat_total, 1.10)
+        print({"probe_super_max": int(c1),
+               "probe_cand_max": int(counts.max()),
                "probe_cand_mean": round(float(counts.mean()), 1),
+               "probe_flat_total": flat_total,
                "super_cap": super_cap, "cand": cand,
-               "tier_lo_capacity": cap_lo, "tier_hi_count": nb_hi},
+               "flat_cap": flat_cap},
               flush=True)
 
-    def fwd_bwd(pos, opa):
-        def loss(pos, opa):
-            out = grt.trace(pos, q, s, opa, feats, o, d,
-                            candidate_capacity=cand,
-                            super_capacity=super_cap,
-                            tier_lo_capacity=cap_lo,
-                            tier_hi_count=nb_hi)
-            return (jnp.mean(out.rgb) + jnp.mean(out.opacity),
-                    out.overflow)
-        (_, ovf), g = jax.value_and_grad(
-            loss, argnums=(0, 1), has_aux=True)(pos, opa)
-        return pos + 1e-20 * g[0][0, 0], opa + 1e-20 * g[1][0], ovf
+    trace_kw = dict(candidate_capacity=cand, super_capacity=super_cap,
+                    flat_capacity=flat_cap)
 
-    step = jax.jit(fwd_bwd)
-    p, a, ovf = step(pos, opa)
-    np.asarray(p[:1])
-    overflow = bool(ovf)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        p, a, ovf = step(p, a)
-    np.asarray(p[:1])
-    dt = time.perf_counter() - t0
+    if infer:
+        def fwd(pos, opa):
+            out = grt.trace(pos, q, s, opa, feats, o, d, **trace_kw)
+            return out.rgb, out.overflow
+        step_i = jax.jit(fwd)
+        rgb, ovf = step_i(pos, opa)
+        np.asarray(rgb[:1])
+        overflow = bool(ovf)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rgb, ovf = step_i(pos, opa + 1e-20 * rgb[0, 0])
+        np.asarray(rgb[:1])
+        dt = time.perf_counter() - t0
+        metric = "grt_trace_rays_per_s_infer"
+    else:
+        def fwd_bwd(pos, opa):
+            def loss(pos, opa):
+                out = grt.trace(pos, q, s, opa, feats, o, d, **trace_kw)
+                return (jnp.mean(out.rgb) + jnp.mean(out.opacity),
+                        out.overflow)
+            (_, ovf), g = jax.value_and_grad(
+                loss, argnums=(0, 1), has_aux=True)(pos, opa)
+            return pos + 1e-20 * g[0][0, 0], opa + 1e-20 * g[1][0], ovf
+
+        step = jax.jit(fwd_bwd)
+        p, a, ovf = step(pos, opa)
+        np.asarray(p[:1])
+        overflow = bool(ovf)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, a, ovf = step(p, a)
+        np.asarray(p[:1])
+        dt = time.perf_counter() - t0
+        metric = "grt_trace_rays_per_s_fwd_bwd"
     rays_per_s = n_rays * iters / dt
     print(json.dumps({
-        "metric": "grt_trace_rays_per_s_fwd_bwd",
+        "metric": metric,
         "value": round(rays_per_s, 1),
         "unit": "rays/s/chip",
         "backend": jax.default_backend(),
         "n_gaussians": n,
         "n_rays": n_rays,
         "candidate_capacity": cand,
+        "flat_capacity": flat_cap,
         "candidate_overflow": overflow,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))

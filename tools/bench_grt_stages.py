@@ -76,11 +76,11 @@ def main(stages):
             p, r, opa >= C.MIN_ALPHA, o, d, 256, cand,
             super_capacity=11264)
 
-    cand_idx, cand_mask, ovf, vis = do_cull2(pos, radius)
+    cand_idx, cand_counts, ovf, vis = do_cull2(pos, radius)
     if want("cull"):
         timed("cone cull single-level (old)", do_cull, pos, radius, bundles)
         timed("cone cull two-level", do_cull2, pos, radius)
-        counts = np.asarray(jnp.sum(cand_mask.astype(jnp.int32), axis=1))
+        counts = np.asarray(cand_counts)
         print(f"    candidates/bundle: mean {counts.mean():.0f} "
               f"max {counts.max()} cap {cand} overflow={bool(ovf)}")
 
@@ -138,59 +138,75 @@ def main(stages):
     if want("pack"):
         timed("pack_rows64", do_pack, pos)
 
-    @jax.jit
-    def do_gather(r64, ci, cm):
-        data = gather_rows(r64, ci.reshape(-1))
-        return data.at[:, 12].multiply(cm.reshape(-1).astype(data.dtype))
+    FLAT_CAP = int(os.environ.get("GRT_FLAT_CAP", str(nb * cand)))
 
-    data = do_gather(rows64, cand_idx, cand_mask)
+    @jax.jit
+    def do_flatten(ci, cn):
+        return grt.flatten_candidates(ci, cn, FLAT_CAP)
+
+    flat_idx, valid, ws, we, ovf_f = do_flatten(cand_idx, cand_counts)
+    if want("flatten"):
+        timed("flatten_candidates", do_flatten, cand_idx, cand_counts)
+        counts = np.asarray(cand_counts)
+        tot = int(np.sum(-(-counts // 128) * 128))
+        print(f"    flat total {tot} capF {FLAT_CAP} "
+              f"overflow={bool(ovf_f)}")
+
+    @jax.jit
+    def do_gather(r64, fi, va):
+        data = gather_rows(r64, fi)
+        return data.at[:, 12].multiply(va.astype(data.dtype))
+
+    data = do_gather(rows64, flat_idx, valid)
     if want("gather"):
-        timed("gather_rows fwd", do_gather, rows64, cand_idx, cand_mask)
+        timed("gather_rows fwd", do_gather, rows64, flat_idx, valid)
 
         @jax.jit
-        def do_gather_bwd(r64, ci, cm):
+        def do_gather_bwd(r64, fi, va):
             def f(rr):
-                dd = gather_rows(rr, ci.reshape(-1))
-                dd = dd.at[:, 12].multiply(cm.reshape(-1).astype(dd.dtype))
+                dd = gather_rows(rr, fi)
+                dd = dd.at[:, 12].multiply(va.astype(dd.dtype))
                 return jnp.sum(dd * dd)
             return jax.grad(f)(r64)
-        timed("gather_rows fwd+bwd", do_gather_bwd, rows64, cand_idx,
-              cand_mask)
+        timed("gather_rows fwd+bwd", do_gather_bwd, rows64, flat_idx,
+              valid)
 
     rays_img = jnp.concatenate([
         o, d, jnp.zeros((n_rays, 1)), jnp.ones((n_rays, 1))], axis=-1)
     rays = rays_img.reshape(nb, 256, 8).transpose(0, 2, 1)
 
     @jax.jit
-    def do_fwd(dd, r):
+    def do_fwd(dd, r, ws_, we_):
         return bundle_trace.bundle_composite(
-            dd, r, C.KERNEL_DEGREE_3DGRT, 3, C.MIN_TRANSMITTANCE_3DGRT)
+            dd, r, ws_, we_, C.KERNEL_DEGREE_3DGRT, 3,
+            C.MIN_TRANSMITTANCE_3DGRT)
 
-    out = do_fwd(data, rays)
+    out = do_fwd(data, rays, ws, we)
     if want("fwd"):
-        timed("bundle fwd", do_fwd, data, rays)
+        timed("bundle fwd", do_fwd, data, rays, ws, we)
 
     if want("bwd"):
         @jax.jit
-        def do_fwd_bwd(dd, r):
+        def do_fwd_bwd(dd, r, ws_, we_):
             def f(dd_):
                 o_ = bundle_trace.bundle_composite(
-                    dd_, r, C.KERNEL_DEGREE_3DGRT, 3,
+                    dd_, r, ws_, we_, C.KERNEL_DEGREE_3DGRT, 3,
                     C.MIN_TRANSMITTANCE_3DGRT)
                 return jnp.sum(o_[:, 0:4, :])
             return jax.grad(f)(dd)
-        timed("bundle fwd+bwd", do_fwd_bwd, data, rays)
+        timed("bundle fwd+bwd", do_fwd_bwd, data, rays, ws, we)
 
         @jax.jit
-        def do_fwd_bwd_sorted(dd, r):
+        def do_fwd_bwd_sorted(dd, r, ws_, we_):
             def f(dd_):
                 o_ = bundle_trace.bundle_composite(
-                    dd_, r, C.KERNEL_DEGREE_3DGRT, 3,
+                    dd_, r, ws_, we_, C.KERNEL_DEGREE_3DGRT, 3,
                     C.MIN_TRANSMITTANCE_3DGRT,
                     sorted_passes=C.GRT_SORTED_PASSES)
                 return jnp.sum(o_[:, 0:4, :])
             return jax.grad(f)(dd)
-        timed("bundle fwd+bwd sorted16", do_fwd_bwd_sorted, data, rays)
+        timed("bundle fwd+bwd sorted16", do_fwd_bwd_sorted, data, rays,
+              ws, we)
 
     print("done")
 

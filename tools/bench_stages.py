@@ -162,6 +162,28 @@ def main(stages):
         print(f"    unsaturated pixels {frac_pix:.4f}, tiles w/ straggler "
               f"{frac_tile:.4f}")
 
+    if want("lanes"):
+        # Lane-compaction sizing census (kernel census mode, row 7): how
+        # many slots are walked while <= 128 (<= 64) pixels are alive — the
+        # only regime where half(quarter)-width windows can cut VPU time.
+        @jax.jit
+        def do_census(ds, b, r):
+            return tile_raster._forward(
+                ds, b.tile_starts, b.tile_ends, r, 2, 1e-4, 0.0113,
+                1 / 255, 0.99, has_t_max=False, census=True)
+        outc = do_census(data_sorted, binning, rays)
+        row7 = np.asarray(outc[:, 7, :4])
+        walked, c128, c64, unsat = row7.T
+        ranges = (np.asarray(binning.tile_ends)
+                  - np.asarray(binning.tile_starts)).astype(np.float64)
+        tot = max(ranges.sum(), 1.0)
+        print(f"    slots: range {int(tot)} walked {walked.sum()/tot:.3f} "
+              f"alive>128 {c128.sum()/tot:.3f} alive>64 {c64.sum()/tot:.3f}")
+        half = (walked - c128).sum() / tot          # half-width eligible
+        quarter = (walked - c64).sum() / tot
+        print(f"    half-width-eligible walked slots {half:.3f}, "
+              f"64-alive {quarter:.3f}; unsat mean {unsat.mean():.1f}/tile")
+
     if want("rowterm"):
         # Per-pixel last-touch termination probe (ops/tiles.row_last_touch
         # + tile_composite row_termination): kernel time with the bound vs
