@@ -112,7 +112,11 @@ def main():
         from threedgrut_tpu.render import gut
 
         @jax.jit
-        def render_only(g, T_):
+        def render_only(g, T_, prev_rgb):
+            # Frame chaining lives INSIDE the jit: any eager op between
+            # frames costs a ~25 ms tunnel round trip (CLAUDE.md).
+            g = g.replace(density=g.density
+                          + 0.0 * prev_rgb.reshape(-1)[0])
             pose = pose_from_matrix(T_)
             out, ovf = gut.render(
                 g.get_positions(), g.get_rotation(), g.get_scale(),
@@ -120,14 +124,13 @@ def main():
                 sorted_passes=sorted_passes, T_to_world=T_)
             return out.rgb, ovf
 
-        rgb, ovf = render_only(params, T)
+        rgb = jnp.zeros((res[1], res[0], 3), jnp.float32)
+        rgb, ovf = render_only(params, T, rgb)
         np.asarray(rgb[:1, :1])
         overflow = bool(ovf)
         t0 = time.perf_counter()
         for _ in range(iters):
-            # Chain an O(1) data dependency so frames serialize on device.
-            rgb, ovf = render_only(params.replace(
-                density=params.density + 0.0 * rgb[0, 0, 0]), T)
+            rgb, ovf = render_only(params, T, rgb)
         np.asarray(rgb[:1, :1])
         dt = time.perf_counter() - t0
         rays_per_s = res[0] * res[1] * iters / dt

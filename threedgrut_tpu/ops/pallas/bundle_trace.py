@@ -6,7 +6,10 @@ tile-compositor machinery of tile_raster.py applied to ray BUNDLES:
 
   * Grid over bundles (256 arbitrary rays each — the culling cone groups).
   * Candidates arrive depth-sorted along the bundle axis (bundle_candidates'
-    top_k key) in CHUNK-aligned windows [W, 64, 256] (fields x candidates).
+    top_k key) in CHUNK-aligned windows [W, 64, 256] (fields x candidates);
+    each bundle owns the contiguous window range [win_starts[b],
+    win_ends[b]) of ONE flat array (render/grt.flatten_candidates), so slot
+    counts adapt per bundle with no shared static capacity padding.
   * Compositing walks candidates in BUNDLE order (the 3DGUT "unsorted"
     global-order semantics, applied per bundle). This is exact whenever
     per-ray hit distances do not invert across the bundle-axis order by

@@ -69,6 +69,19 @@ GROUP = max(1, int(_os.environ.get("TILE_RASTER_GROUP", "1")))
 # Pair-math formulation for u = A(o-p), v = Ad (and the backward's qj):
 # "vpu" broadcast outer products (default) vs "mxu" k=3 HIGHEST matmuls.
 _PAIR_MXU = _os.environ.get("TILE_RASTER_PAIR", "vpu") == "mxu"
+# Lane compaction: once <= 128 pixels of a tile are unsaturated, compact
+# them into half-width [CHUNK, 128] windows (exact one-hot MXU routing).
+# BUILT AND MEASURED NET-NEGATIVE at bench scale (r4): the census says only
+# 19.2% of walked slots run at <= 128 alive (tools/bench_stages.py lanes),
+# the tail window's cost does not halve (DMA + loop overheads are
+# lane-count-independent), and the two-loop structure itself costs ~2.5 ms
+# fwd / ~5 ms fwd+bwd (24.2/93.7 vs 21.6/88.4 ms with the knob off, TPU
+# v5e, 1M Gaussians) — the same conclusion as r3's row-termination probe:
+# per-pixel termination does not pay on TPU vector hardware at this scene.
+# Default OFF; the machinery stays correct (bit-exact forward, 1e-12-rel
+# backward, tests) for probing other scenes.
+_LANE_COMPACT = _os.environ.get("TILE_RASTER_LANEC", "0") == "1"
+_HALF = PIX // 2
 
 
 def _response_and_grad_coeff(g: jnp.ndarray, degree: int):
@@ -311,6 +324,43 @@ def _t_before_excl(alpha, one_m, q, sorted_passes, row_idx=None, start=None,
     return _apply_swaps(masks, excl_s, sorted_passes, inverse=True), masks
 
 
+def _lane_select(needed):
+    """[PIX] bool (<= _HALF set) -> one-hot SelM [_HALF, PIX] routing the
+    selected lanes to compact lanes in ascending order.
+
+    Ranks come from one strictly-lower-triangular ones matmul (exact: 0/1
+    inputs, integer sums < 2^8); the one-hot equality compare is a single
+    VPU pass. Used by the lane-compaction tail (see _forward_kernel)."""
+    nd = needed.astype(jnp.float32)[None, :]                   # [1, PIX]
+    k = jax.lax.broadcasted_iota(jnp.int32, (PIX, PIX), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (PIX, PIX), 1)
+    low = (k < j).astype(jnp.float32)
+    r_excl = jax.lax.dot_general(
+        nd, low, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [1, PIX]
+    # Mosaic iota must be integer; r_excl is integer-valued f32 (< 2^8).
+    i = jax.lax.broadcasted_iota(jnp.int32, (_HALF, PIX), 0)
+    return jnp.where((i == r_excl.astype(jnp.int32)) & needed[None, :],
+                     1.0, 0.0)
+
+
+def _compact_lanes(x, selm):
+    """[k, PIX] -> [k, _HALF] one-hot routing (exact: HIGHEST = 3-term bf16
+    split, an exact f32 decomposition; sums have one nonzero term)."""
+    return jax.lax.dot_general(
+        x, selm, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _scatter_lanes(x_c, selm):
+    """[k, _HALF] -> [k, PIX] inverse routing (zeros on unselected lanes)."""
+    return jax.lax.dot_general(
+        x_c, selm, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 _N_WBUF = 4   # write-buffer ring depth (overlaps write DMAs)
 
 
@@ -318,7 +368,7 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
                     *rest, degree, min_transmittance, min_response,
                     min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
                     aux_outputs=True, emit_flags=False,
-                    row_termination=False, census=False):
+                    row_termination=False, census=False, lane_compact=False):
     """With `emit_flags`, a second [W, 8, CHUNK] output carries the per-slot
     contributed bit in row 0 (w_ > 0 for any pixel of the owning tile —
     reference semantics: the hit-accepted particle flag,
@@ -486,19 +536,128 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
             c128 = c128 + jnp.where(cnt > 128, in_rng, 0)
             c64 = c64 + jnp.where(cnt > 64, in_rng, 0)
             return g + 1, alive, c128, c64
+        if lane_compact:
+            # `wide` = more than _HALF pixels still unsaturated; loop 1
+            # exits as soon as the tile fits in half-width windows. The
+            # cross-lane count is amortized to every 4th window (delays
+            # the switch by <= 3 windows; the count itself costs ~a VPU
+            # reduce per window otherwise).
+            wide = jax.lax.cond(
+                (g & 3) == 3,
+                lambda: jnp.sum(needed.astype(jnp.int32)) > _HALF,
+                lambda: state[2])
+            return g + 1, alive, wide
         return g + 1, alive
 
     def cond(state):
-        return (state[0] < g1) & state[1]
+        keep = (state[0] < g1) & state[1]
+        if lane_compact:
+            keep = keep & state[2]
+        return keep
 
     alive0 = jnp.bool_(True)
     if row_termination:
         alive0 = jnp.any(rays[7, :] >= (g0 * GROUP * CHUNK)
                          .astype(jnp.float32))
-    state0 = ((g0, alive0, jnp.int32(0), jnp.int32(0)) if census
-              else (g0, alive0))
+    if census:
+        state0 = (g0, alive0, jnp.int32(0), jnp.int32(0))
+    elif lane_compact:
+        state0 = (g0, alive0, jnp.bool_(True))
+    else:
+        state0 = (g0, alive0)
     fin = jax.lax.while_loop(cond, body, state0)
     gf = fin[0]
+
+    if lane_compact:
+        # ---- half-width tail: <= _HALF unsaturated pixels remain ----
+        # Route them into compact lanes with exact one-hot matmuls; every
+        # [CHUNK, PIX] pass below becomes [CHUNK, _HALF] (VPU time scales
+        # with lanes). Loop-1 partial sums seed the compact accumulators;
+        # the tail's results are routed back at the end. Bit-exact vs the
+        # full-width walk: the math per (slot, selected pixel) is
+        # unchanged, and unselected pixels are saturated (composite
+        # nothing either way).
+        needed0 = out_ref[0, 5, :] > min_transmittance
+        if row_termination:
+            needed0 = needed0 & (rays[7, :]
+                                 >= (gf * GROUP * CHUNK).astype(jnp.float32))
+        # Loop 1 can also end by EXHAUSTING the range while still wide
+        # (> _HALF alive) — then there is nothing to compact and the merge
+        # below must not touch the output (_lane_select would drop lanes
+        # ranked past _HALF).
+        needed0 = needed0 & (jnp.sum(needed0.astype(jnp.int32)) <= _HALF)
+        selm = _lane_select(needed0)
+        rays_c = _compact_lanes(rays, selm)                 # [8, _HALF]
+        acc0 = _compact_lanes(out_ref[0], selm)             # [8, _HALF]
+        lt_c = rays_c[7, :][None, :] if row_termination else None
+        need_hit_t2 = aux_outputs or has_t_max or bool(sorted_passes)
+
+        def body2(state):
+            g, rgb_c, opa_c, dep_c, t_c, hit_c, _ = state
+            slot = g % _N_DBUF
+            dma(g, slot).wait()
+
+            @pl.when(g + PREFETCH < g1)
+            def _():
+                dma(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
+
+            for j in range(GROUP):
+                w = g * GROUP + j
+                S = dbuf[slot, j]
+                row_mask = _row_mask(w, start, end)
+                q = _pair_quantities(S, rays_c, degree,
+                                     need_hit_t=need_hit_t2,
+                                     has_t_max=has_t_max)
+                alpha, _ = _alpha_from_raw(q, row_mask, min_response,
+                                           min_alpha, max_alpha)
+                row_idx = (jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, 1), 0) + w * CHUNK)
+                if row_termination:
+                    alpha = jnp.where(row_idx.astype(jnp.float32) <= lt_c,
+                                      alpha, 0.0)
+                one_m = 1.0 - alpha
+                excl, _ = _t_before_excl(alpha, one_m, q, sorted_passes,
+                                         row_idx, start, end)
+                t_before = t_c * excl
+                live = t_before > min_transmittance
+                w_ = jnp.where(live, alpha * t_before, 0.0)
+                rgb_c = rgb_c + jax.lax.dot_general(
+                    S[13:16, :], w_,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)    # [3, _HALF]
+                opa_c = opa_c + jnp.sum(w_, axis=0)[None, :]
+                if aux_outputs:
+                    dep_c = dep_c + jnp.sum(w_ * q["hit_t"], axis=0)[None, :]
+                    hit_c = hit_c + jnp.sum(
+                        (w_ > 0.0).astype(jnp.float32), axis=0)[None, :]
+                t_after = jnp.where(live, t_before * one_m,
+                                    jnp.float32(3.4e38))
+                t_c = jnp.minimum(jnp.min(t_after, axis=0)[None, :], t_c)
+            needed2 = t_c[0] > min_transmittance
+            if row_termination:
+                nxt = ((g + 1) * GROUP * CHUNK).astype(jnp.float32)
+                needed2 = needed2 & (rays_c[7, :] >= nxt)
+            return (g + 1, rgb_c, opa_c, dep_c, t_c, hit_c,
+                    jnp.any(needed2))
+
+        def cond2(state):
+            return (state[0] < g1) & state[6]
+
+        alive2 = jnp.any(acc0[5, :] > min_transmittance)
+        if row_termination:
+            alive2 = alive2 & jnp.any(
+                rays_c[7, :] >= (gf * GROUP * CHUNK).astype(jnp.float32))
+        fin2 = jax.lax.while_loop(
+            cond2, body2,
+            (gf, acc0[0:3], acc0[3:4], acc0[4:5], acc0[5:6], acc0[6:7],
+             alive2))
+        gf = fin2[0]
+        acc_f = jnp.concatenate(
+            [fin2[1], fin2[2], fin2[3], fin2[4], fin2[5], acc0[7:8]],
+            axis=0)                                         # [8, _HALF]
+        sel = needed0[None, :]
+        out_ref[0] = jnp.where(sel, _scatter_lanes(acc_f, selm), out_ref[0])
 
     # Free diagnostics in the pad row: lane 0 = slots this tile actually
     # WALKED (early exit stops at gf); with `census`, lane 1/2 = slots
@@ -539,7 +698,7 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
                      wsem, wstate, *, degree, min_transmittance, min_response,
                      min_alpha, max_alpha, sorted_passes=0, has_t_max=True,
                      aux_grads=True, lowprec_grads=False,
-                     row_termination=False):
+                     row_termination=False, lane_compact=False):
     """Single re-walk front-to-back; suffix sums recovered from forward totals.
 
     fwd_ref: forward outputs block [1, 8, PIX]; gout_ref: incoming gradients,
@@ -610,22 +769,7 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
     if aux_grads:
         a_tot = a_tot + (fwd_ref[0, 4, :] * dD[0, :])[None, :]
 
-    def body(state):
-        g, t_carry_v, prefix_v = state
-        slot = g % _N_DBUF
-        dma_data(g, slot).wait()
-
-        @pl.when(g + PREFETCH < g1)
-        def _():
-            dma_data(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
-
-        g_blocks = []
-        for j in range(GROUP):
-            w = g * GROUP + j
-            t_carry_v, prefix_v, G = _bwd_window(
-                dbuf[slot, j], w, t_carry_v, prefix_v)
-            g_blocks.append(G)
-
+    def emit_g(g, g_blocks):
         # Group-shared blend without RMW: rows outside [start, end) are
         # zero; if the previous write targeted this same GROUP (boundary
         # shared with the preceding tile), add its buffered contents.
@@ -646,9 +790,37 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         wstate[2 + s] = g
         wstate[0] = g
         wstate[1] = k + 1
-        return g + 1, t_carry_v, prefix_v
 
-    def _bwd_window(S, w, t_carry_v, prefix_v):
+    def make_body(cx, lane_tail):
+        def body(state):
+            g, t_carry_v, prefix_v = state[:3]
+            slot = g % _N_DBUF
+            dma_data(g, slot).wait()
+
+            @pl.when(g + PREFETCH < g1)
+            def _():
+                dma_data(g + PREFETCH, (g + PREFETCH) % _N_DBUF).start()
+
+            g_blocks = []
+            for j in range(GROUP):
+                w = g * GROUP + j
+                t_carry_v, prefix_v, G = _bwd_window(
+                    dbuf[slot, j], w, t_carry_v, prefix_v, cx)
+                g_blocks.append(G)
+            emit_g(g, g_blocks)
+            if lane_compact and not lane_tail:
+                wide = jax.lax.cond(
+                    (g & 3) == 3,
+                    lambda: (jnp.sum((t_carry_v > min_transmittance)
+                                     .astype(jnp.int32)) > _HALF),
+                    lambda: state[3])
+                return g + 1, t_carry_v, prefix_v, wide
+            return g + 1, t_carry_v, prefix_v
+        return body
+
+    def _bwd_window(S, w, t_carry_v, prefix_v, cx):
+        rays, dC, dO, dD, dT, a_tot, t_final = cx
+        npix = rays.shape[1]
         row_mask = _row_mask(w, start, end)
 
         need_hit_t = aux_grads or has_t_max or bool(sorted_passes)
@@ -739,8 +911,9 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         # reductions ride the MXU: [o; 1] @ du_r^T yields sum du_r*o_k for
         # k=0..2 plus sum du_r in one [4, CHUNK] pass (rows already in the
         # output orientation — no sublane->lane transposes).
-        o1 = jnp.concatenate([rays[0:3, :], jnp.ones((1, PIX), jnp.float32)],
-                             axis=0)                       # [4, PIX]
+        o1 = jnp.concatenate([rays[0:3, :],
+                              jnp.ones((1, npix), jnp.float32)],
+                             axis=0)                       # [4, npix]
         # Gradient-SUM contractions (k = PIX): with lowprec_grads these run
         # at DEFAULT (one bf16 pass) instead of HIGHEST (3-pass f32 split) —
         # ~2^-9 relative error on per-window gradient sums, the same class
@@ -781,21 +954,58 @@ def _backward_kernel(starts_ref, ends_ref, data_hbm, rays_ref, fwd_ref,
         prefix_new = prefix_v + jnp.sum(wq, axis=0)
         return t_carry_new, prefix_new, G
 
-    def cond(state):
-        g, t_carry_v, _ = state
-        # Early exit mirrors the forward: once every ray's transmittance is
-        # below the floor no later hit has weight or gradient, and the
-        # pre-zeroed output already holds the correct (zero) values.
-        needed = t_carry_v > min_transmittance
-        if row_termination:
-            needed = needed & (rays[7, :]
-                               >= (g * GROUP * CHUNK).astype(jnp.float32))
-        return (g < g1) & jnp.any(needed)
+    def make_cond(cx, lane_tail):
+        def cond(state):
+            g, t_carry_v = state[0], state[1]
+            # Early exit mirrors the forward: once every ray's
+            # transmittance is below the floor no later hit has weight or
+            # gradient, and the pre-zeroed output already holds the correct
+            # (zero) values.
+            needed = t_carry_v > min_transmittance
+            if row_termination:
+                needed = needed & (cx[0][7, :]
+                                   >= (g * GROUP * CHUNK)
+                                   .astype(jnp.float32))
+            keep = (g < g1) & jnp.any(needed)
+            if lane_compact and not lane_tail:
+                keep = keep & state[3]
+            return keep
+        return cond
 
-    gf, _, _ = jax.lax.while_loop(
-        cond, body,
-        (g0, jnp.ones((PIX,), jnp.float32),
-         jnp.zeros((PIX,), jnp.float32)))
+    cx_full = (rays, dC, dO, dD, dT, a_tot, t_final)
+    state0 = (g0, jnp.ones((PIX,), jnp.float32),
+              jnp.zeros((PIX,), jnp.float32))
+    if lane_compact:
+        state0 = state0 + (jnp.bool_(True),)
+    fin = jax.lax.while_loop(make_cond(cx_full, False),
+                             make_body(cx_full, False), state0)
+    gf, t_carry_f, prefix_f = fin[0], fin[1], fin[2]
+
+    if lane_compact:
+        # ---- half-width tail (see _forward_kernel): <= _HALF rays still
+        # carry gradient; route them into compact lanes. Per-slot gradient
+        # sums are exact over the compacted lanes (dropped lanes are dead:
+        # w_ == 0 chains every contribution to exact +0), up to f32
+        # reassociation of the MXU pixel reductions.
+        needed0 = t_carry_f > min_transmittance
+        if row_termination:
+            needed0 = needed0 & (rays[7, :]
+                                 >= (gf * GROUP * CHUNK).astype(jnp.float32))
+        needed0 = needed0 & (jnp.sum(needed0.astype(jnp.int32)) <= _HALF)
+        selm = _lane_select(needed0)
+
+        def comp(x):
+            return _compact_lanes(x, selm)
+
+        cx_c = (comp(rays), comp(dC), comp(dO),
+                comp(dD) if aux_grads else None,
+                comp(dT) if aux_grads else None,
+                comp(a_tot), comp(t_final))
+        t_c = comp(t_carry_f[None, :])[0]
+        p_c = comp(prefix_f[None, :])[0]
+        fin2 = jax.lax.while_loop(make_cond(cx_c, True),
+                                  make_body(cx_c, True), (gf, t_c, p_c))
+        gf = fin2[0]
 
     # Drain any in-flight prefetches left by an early exit.
     for k in range(PREFETCH):
@@ -878,12 +1088,14 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
     (probe-only; see _forward_kernel)."""
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
+    lane_compact = _LANE_COMPACT and not emit_flags and not census
     kern = functools.partial(
         _forward_kernel, degree=degree, min_transmittance=min_transmittance,
         min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
         aux_outputs=aux_outputs, emit_flags=emit_flags,
-        row_termination=row_termination, census=census)
+        row_termination=row_termination, census=census,
+        lane_compact=lane_compact)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # window data stays in HBM
         pl.BlockSpec((1, 8, PIX), lambda i, *_: (i, 0, 0),
@@ -961,7 +1173,7 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         min_alpha=min_alpha, max_alpha=max_alpha,
         sorted_passes=sorted_passes, has_t_max=has_t_max,
         aux_grads=aux_grads, lowprec_grads=lowprec_grads,
-        row_termination=row_termination)
+        row_termination=row_termination, lane_compact=_LANE_COMPACT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),

@@ -42,7 +42,7 @@ def main():
         # hardcoded so the driver's timed run skips the probe compile.
         n, side, cand, iters = 100_000, 512, 1792, 10
         super_cap = 24320          # zero-truncation (probe max 22093 +10%)
-        flat_cap = 888832          # flat total (probe 807936 +10%, 256-al.)
+        flat_cap = 919296          # flat total (probe 835584 +10%, 256-al.)
     else:
         n, side, cand, iters = 2_000, 64, 256, 2
         super_cap = 1024
@@ -89,11 +89,16 @@ def main():
             bundles = grt.make_bundles(o, d, 256)
             perm = grt.bundle_morton_order(bundles)
             sup = grt.make_super_bundles(bundles, perm, 16)
+            # Cap the probe's super width: [ns, 16, S] f32 temps at S = n
+            # would be tens of GB at 1M Gaussians. 2^18 is comfortably above
+            # any measured super count; the probe still reports c1 so an
+            # overflowing cap is visible.
+            s_probe = min(int(n), 1 << 18)
             hit1, _ = grt._cone_hit(pos, radius, valid, sup)
             c1 = jnp.max(jnp.sum(hit1.astype(jnp.int32), axis=1))
             ci, counts, ovf, _ = grt.bundle_candidates_twolevel(
-                pos, radius, valid, o, d, 256, int(n),
-                super_capacity=int(n))
+                pos, radius, valid, o, d, 256, s_probe,
+                super_capacity=s_probe)
             return c1, counts
         c1, counts = probe(pos, opa)
         counts = np.asarray(counts)
@@ -114,16 +119,20 @@ def main():
                     flat_capacity=flat_cap)
 
     if infer:
-        def fwd(pos, opa):
+        def fwd(pos, opa, prev_rgb):
+            # Frame chaining INSIDE jit — eager ops between frames cost a
+            # ~25 ms tunnel round trip each (CLAUDE.md).
+            opa = opa + 1e-20 * prev_rgb.reshape(-1)[0]
             out = grt.trace(pos, q, s, opa, feats, o, d, **trace_kw)
             return out.rgb, out.overflow
         step_i = jax.jit(fwd)
-        rgb, ovf = step_i(pos, opa)
+        rgb = jnp.zeros((n_rays, 3), jnp.float32)
+        rgb, ovf = step_i(pos, opa, rgb)
         np.asarray(rgb[:1])
         overflow = bool(ovf)
         t0 = time.perf_counter()
         for _ in range(iters):
-            rgb, ovf = step_i(pos, opa + 1e-20 * rgb[0, 0])
+            rgb, ovf = step_i(pos, opa, rgb)
         np.asarray(rgb[:1])
         dt = time.perf_counter() - t0
         metric = "grt_trace_rays_per_s_infer"
