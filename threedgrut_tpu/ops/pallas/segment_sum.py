@@ -41,7 +41,8 @@ PBLK = 256   # particles per output block
 SBLK = 256   # slots per input window
 
 
-def _kernel(wlo_ref, bounds_hbm, g_hbm, out_ref, dbuf, sbuf, sem, ssem):
+def _kernel(wlo_ref, bounds_hbm, g_hbm, out_ref, dbuf, sbuf, sem, ssem, *,
+            precision):
     i = pl.program_id(0)
     w_lo = wlo_ref[i]
     w_hi = wlo_ref[i + pl.num_programs(0)]   # packed [lo | hi] array
@@ -80,7 +81,7 @@ def _kernel(wlo_ref, bounds_hbm, g_hbm, out_ref, dbuf, sbuf, sem, ssem):
         acc = acc + jax.lax.dot_general(
             g_win, member, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # [F, PBLK]
+            precision=precision)                  # [F, PBLK]
         return w + 1, acc
 
     def cond(state):
@@ -93,7 +94,8 @@ def _kernel(wlo_ref, bounds_hbm, g_hbm, out_ref, dbuf, sbuf, sem, ssem):
     out_ref[...] = acc
 
 
-def segment_sum_rows(g_cm: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
+def segment_sum_rows(g_cm: jnp.ndarray, ends: jnp.ndarray,
+                     bf16_values: bool = False) -> jnp.ndarray:
     """g_cm: [F, cap] slot rows channel-major (expansion order); ends: [N]
     int32 inclusive-prefix segment ends (monotone; clipped to cap here).
     Returns [F, N] per-segment sums (CHANNEL-MAJOR: the custom call pins
@@ -104,6 +106,12 @@ def segment_sum_rows(g_cm: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
     back to [N, F] outside is a free bitcast into the {0,1} layout XLA
     prefers for small-minor-dim arrays). N, cap must be multiples of 256.
     """
+    # With `bf16_values` the caller guarantees every g_cm entry is exactly
+    # bf16-representable (the bf16 cotangent-reorder leg unpacks to such
+    # values): the DEFAULT-precision MXU pass is then BITWISE identical to
+    # HIGHEST (the 3-term split's lo terms are exactly zero) at 1/3 the
+    # passes.
+    import functools as _ft
     f, cap = g_cm.shape
     n = ends.shape[0]
     assert cap % SBLK == 0 and n % PBLK == 0, (cap, n)
@@ -138,8 +146,10 @@ def segment_sum_rows(g_cm: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
     )
     bounds = jnp.stack([starts.reshape(n_blocks, PBLK),
                         e.reshape(n_blocks, PBLK)], axis=1)
+    prec = (jax.lax.Precision.DEFAULT if bf16_values
+            else jax.lax.Precision.HIGHEST)
     return pl.pallas_call(
-        _kernel,
+        _ft.partial(_kernel, precision=prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((f, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(

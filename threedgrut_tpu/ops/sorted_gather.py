@@ -127,9 +127,14 @@ def _bwd(grad_precision, res, g_sorted):
         e_pad = ends if ne_pad == ne else jnp.concatenate(
             [ends, jnp.broadcast_to(ends[-1:], (ne_pad - ne,))])
         # [F, N] channel-major out; the .T is a free bitcast (layout note in
-        # segment_sum_rows' docstring).
-        return (segment_sum_rows(g_cm, e_pad)[:, :n].T,
-                None, None, None)
+        # segment_sum_rows' docstring). On the bf16 leg the unpacked values
+        # are exactly bf16-representable, so the reduction's DEFAULT-
+        # precision MXU pass is bitwise identical to HIGHEST at 1/3 the
+        # passes (segment_sum_rows docstring).
+        return (segment_sum_rows(
+            g_cm, e_pad,
+            bf16_values=(grad_precision == "bf16" and nch % 2 == 0))
+            [:, :n].T, None, None, None)
     g_exp = jnp.stack(sorted_ops[1:], axis=-1)
     cum = _blocked_cumsum(g_exp)
     e = jnp.minimum(ends, cap)

@@ -32,9 +32,9 @@ def main():
         # 1M Gaussians (BASELINE.md's metric scale). Autotuned like below:
         # the solid-ball scene means any cone covers ~20% of the scene, so
         # the super list is large; flat total measured by the probe.
-        n, side, cand, iters = 1_000_000, 512, 24576, 10
-        super_cap = 231424
-        flat_cap = 9400576
+        n, side, cand, iters = 1_000_000, 512, 7680, 10
+        super_cap = 216832         # probe super max 196936 +10%
+        flat_cap = 3384832         # probe flat total 3076992 +10%
     elif on_tpu:
         # Capacities follow bench.py's autotune convention: derived once
         # from the true per-level candidate counts of this fixed seeded
