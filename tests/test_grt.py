@@ -451,3 +451,40 @@ def test_flat_capacity_matches_dense():
     # empty; a straddling bundle keeps its nearest candidates).
     _, out2, _ = run(flat_capacity=128)
     assert bool(out2.overflow)
+
+
+def test_flatten_candidates_unit():
+    """Direct unit test of the flat layout builder: empty bundles, counts
+    below/at window multiples, window ranges, validity, and overflow."""
+    from threedgrut_tpu.ops.pallas.bundle_trace import CHUNK
+
+    nb, L = 4, 2 * CHUNK
+    rng = np.random.default_rng(0)
+    cand = jnp.asarray(rng.integers(0, 1000, (nb, L)).astype(np.int32))
+    #          b0: empty  b1: 1 slot  b2: exactly 1 window  b3: 1.5 windows
+    counts = jnp.asarray([0, 1, CHUNK, CHUNK + CHUNK // 2], jnp.int32)
+    capF = 8 * CHUNK
+    fi, valid, ws, we, ovf = grt.flatten_candidates(cand, counts, capF)
+    assert not bool(ovf)
+    ws, we = np.asarray(ws), np.asarray(we)
+    # b0 empty -> zero-width range; others CHUNK-padded and contiguous.
+    np.testing.assert_array_equal(ws, [0, 0, 1, 2])
+    np.testing.assert_array_equal(we, [0, 1, 2, 4])
+    fi, valid = np.asarray(fi), np.asarray(valid)
+    c = np.asarray(cand)
+    # Valid prefixes carry the right candidates in order.
+    np.testing.assert_array_equal(fi[0:1], c[1, :1])
+    np.testing.assert_array_equal(fi[CHUNK:2 * CHUNK], c[2, :CHUNK])
+    np.testing.assert_array_equal(fi[2 * CHUNK:2 * CHUNK + CHUNK + CHUNK // 2],
+                                  c[3, :CHUNK + CHUNK // 2])
+    # Validity masks exactly the counts.
+    assert valid[:CHUNK].sum() == 1
+    assert valid[CHUNK:2 * CHUNK].sum() == CHUNK
+    assert valid[2 * CHUNK:4 * CHUNK].sum() == CHUNK + CHUNK // 2
+    assert not valid[4 * CHUNK:].any()          # tail past total
+
+    # Overflow: capF too small flags, straddling bundle clamps its range.
+    fi2, valid2, ws2, we2, ovf2 = grt.flatten_candidates(
+        cand, counts, 2 * CHUNK)
+    assert bool(ovf2)
+    assert (np.asarray(we2) <= 2).all()

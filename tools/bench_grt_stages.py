@@ -21,7 +21,10 @@ def main(stages):
     from threedgrut_tpu.ops.sorted_gather import gather_rows
     from threedgrut_tpu import constants as C
 
-    n, side, cand, ITERS = 100_000, 512, 2048, 10
+    n = int(os.environ.get("GRT_N", "100000"))
+    cand = int(os.environ.get("GRT_CAND", "2048"))
+    s_cap_env = int(os.environ.get("GRT_SUPER", "11264"))
+    side, ITERS = 512, int(os.environ.get("GRT_ITERS", "10"))
     n_rays = side * side
     nb = n_rays // 256
 
@@ -29,7 +32,9 @@ def main(stages):
     pos = jnp.asarray(rng.normal(0, 1.0, (n, 3)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    s = jnp.asarray(np.exp(rng.uniform(np.log(0.01), np.log(0.05),
+    scale_rng = (0.004, 0.02) if n >= 500_000 else (0.01, 0.05)
+    s = jnp.asarray(np.exp(rng.uniform(np.log(scale_rng[0]),
+                                       np.log(scale_rng[1]),
                                        (n, 3))).astype(np.float32))
     opa = jnp.full((n,), 0.5, jnp.float32)
     feats = np.zeros((n, 16, 3), np.float32)
@@ -74,7 +79,7 @@ def main(stages):
     def do_cull2(p, r):
         return grt.bundle_candidates_twolevel(
             p, r, opa >= C.MIN_ALPHA, o, d, 256, cand,
-            super_capacity=11264)
+            super_capacity=s_cap_env)
 
     cand_idx, cand_counts, ovf, vis = do_cull2(pos, radius)
     if want("cull"):
