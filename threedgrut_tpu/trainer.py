@@ -236,9 +236,20 @@ class Trainer:
         prev_ovf, self._pending_overflow = (self._pending_overflow,
                                             aux["overflow"])
         if prev_ovf is not None and bool(prev_ovf):
-            self.isect_capacity *= 2
-            print(f"isect overflow at step {self.global_step - 1}; capacity "
-                  f"-> {self.isect_capacity}", flush=True)
+            # Hard ceiling: the Pallas expansion packs slot/particle ids in
+            # 24 bits (ops/pallas/expand.py) — growth clamps there and keeps
+            # training with flagged truncation instead of crashing.
+            cap_max = (1 << 24) - 256
+            grown = min(self.isect_capacity * 2, cap_max)
+            if grown == self.isect_capacity:
+                print(f"isect overflow at step {self.global_step - 1}; "
+                      f"capacity already at the 2^24 packing ceiling "
+                      f"({cap_max}) — continuing with truncation",
+                      flush=True)
+            else:
+                self.isect_capacity = grown
+                print(f"isect overflow at step {self.global_step - 1}; "
+                      f"capacity -> {self.isect_capacity}", flush=True)
             # The step just dispatched also ran at the OLD capacity; its
             # flag reports the same shortage we already responded to —
             # dropping it avoids a spurious second doubling.

@@ -6,14 +6,18 @@
 set -u
 cd /root/repo
 MAX_SEGS=${MAX_SEGS:-8}
+STAGE=${STAGE:-seg}
+RUN_EVAL=${RUN_EVAL:-1}
 for i in $(seq 1 "$MAX_SEGS"); do
   echo "=== segment attempt $i $(date -u +%H:%M:%S) ==="
-  timeout 1800 python tools/tpu_train_scale.py seg
+  timeout "${SEG_TIMEOUT:-1800}" python tools/tpu_train_scale.py "$STAGE"
   rc=$?
   if [ "$rc" -eq 42 ]; then
-    echo "=== all segments done; running final eval ==="
-    timeout 1800 python tools/tpu_train_scale.py eval
-    echo "=== EVAL_RC=$? ==="
+    if [ "$RUN_EVAL" = "1" ]; then
+      echo "=== all segments done; running final eval ==="
+      timeout 1800 python tools/tpu_train_scale.py eval
+      echo "=== EVAL_RC=$? ==="
+    fi
     exit 0
   fi
   echo "=== segment rc=$rc; retrying ==="

@@ -23,7 +23,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-OUT = "/root/repo/runs/scale_proof"
+OUT = os.environ.get("SCALE_OUT", "/root/repo/runs/scale_proof")
 RES = (800, 800)
 N_VIEWS, N_VAL = 96, 8
 MID_STEP = 12000
@@ -205,6 +205,15 @@ def build_trainer(resume_path=None):
             tr.cfg.render.isect_capacity = cap
             print(f"isect_capacity pre-sized -> {cap}", flush=True)
         return tr
+    # Pre-size the intersection buffer on FRESH starts too (the grow stage
+    # would otherwise pay ~4 doubling recompiles, minutes each through the
+    # remote tunnel).
+    cap_env = os.environ.get("SCALE_ISECT_CAP")
+    if cap_env:
+        cfg.render.isect_capacity = max(int(cap_env),
+                                        cfg.render.isect_capacity)
+        print(f"isect_capacity pre-sized -> {cfg.render.isect_capacity}",
+              flush=True)
     xyz, rgb = ds.initialization_points()
     params = gaussians.init_from_points(
         xyz, colors=rgb, observer_points=ds.observer_points,
@@ -261,6 +270,36 @@ def main(stage):
         done = tr.global_step >= 30000
         rec(stage=stage, end_step=tr.global_step,
             n=int(tr.params.num_active()), wall_s=time.time() - t0,
+            val=(tr.validate() if done else None))
+        print(f"SEG_OK {start}->{tr.global_step}", flush=True)
+        if done:
+            print("SEG_DONE", flush=True)
+            raise SystemExit(42)
+    elif stage == "grow":
+        # 1M-regime demonstration (the leg ROUNDLOG r3 promised): force
+        # densification toward model capacity with SCALE_GRAD_TH, run
+        # SCALE_STEPS total in resumable segments (fresh start when no
+        # ckpt_last in SCALE_OUT), and record particle growth + rates.
+        seg = int(os.environ.get("SCALE_SEG_STEPS", "1500"))
+        total = int(os.environ.get("SCALE_STEPS", "3000"))
+        ck = os.path.join(OUT, "ckpt_last.npz")
+        tr = build_trainer(resume_path=ck if os.path.exists(ck) else None)
+        start = tr.global_step
+        n_steps = min(seg, total - start)
+        if n_steps <= 0:
+            rec(stage=stage, end_step=start,
+                n=int(tr.params.num_active()), val=tr.validate())
+            print("SEG_DONE", flush=True)
+            raise SystemExit(42)
+        rec(stage=stage, resumed_from=start,
+            n0=int(tr.params.num_active()),
+            isect_capacity=int(tr.isect_capacity))
+        t0 = time.time()
+        tr.run(iterations=n_steps, log_every=100, out_dir=OUT)
+        done = tr.global_step >= total
+        rec(stage=stage, end_step=tr.global_step,
+            n=int(tr.params.num_active()), wall_s=time.time() - t0,
+            isect_capacity=int(tr.isect_capacity),
             val=(tr.validate() if done else None))
         print(f"SEG_OK {start}->{tr.global_step}", flush=True)
         if done:
