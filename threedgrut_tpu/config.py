@@ -72,9 +72,6 @@ class RenderConfig:
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
     isect_capacity: int = 1 << 21
-    # 3DGRT-path settings.
-    k_hits_per_chunk: int = 64            # particles per lax.scan chunk
-    grid_resolution: int = 64             # culling-grid resolution (trace path)
     # 2DGS barycentric-surfel primitive (reference
     # barycentricSurfelsOptix.cu / gaussianParticles.cuh SurfelPrimitive):
     # response at the canonical z=0 plane intersection.
