@@ -464,7 +464,7 @@ def test_flatten_candidates_unit():
     #          b0: empty  b1: 1 slot  b2: exactly 1 window  b3: 1.5 windows
     counts = jnp.asarray([0, 1, CHUNK, CHUNK + CHUNK // 2], jnp.int32)
     capF = 8 * CHUNK
-    fi, valid, ws, we, ovf = grt.flatten_candidates(cand, counts, capF)
+    fi, valid, ws, we, ovf, wb = grt.flatten_candidates(cand, counts, capF)
     assert not bool(ovf)
     ws, we = np.asarray(ws), np.asarray(we)
     # b0 empty -> zero-width range; others CHUNK-padded and contiguous.
@@ -484,7 +484,41 @@ def test_flatten_candidates_unit():
     assert not valid[4 * CHUNK:].any()          # tail past total
 
     # Overflow: capF too small flags, straddling bundle clamps its range.
-    fi2, valid2, ws2, we2, ovf2 = grt.flatten_candidates(
+    fi2, valid2, ws2, we2, ovf2, _ = grt.flatten_candidates(
         cand, counts, 2 * CHUNK)
     assert bool(ovf2)
     assert (np.asarray(we2) <= 2).all()
+
+
+def test_packed_cull_matches_exact():
+    """packed_cull=True (single-operand quantized-key culling sorts) must
+    produce the same candidate SETS as the exact two-level path; on a
+    depth-separated scene (layer spacing >> quantization bucket) the
+    compositing order is also identical, so outputs match bit-for-bit."""
+    pos, quat, scale, opa, feats = separated_scene(n=128, seed=21)
+    rng = np.random.default_rng(22)
+    os_, ds_ = [], []
+    for b in range(32):
+        o = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (256, 1))
+        d = np.stack([0.02 * (b % 6) + rng.uniform(-0.15, 0.15, 256),
+                      0.02 * (b // 6) + rng.uniform(-0.15, 0.15, 256),
+                      np.ones(256)], -1).astype(np.float32)
+        os_.append(o)
+        ds_.append(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(np.concatenate(os_))
+    d = jnp.asarray(np.concatenate(ds_))
+
+    kw = dict(candidate_capacity=128, super_capacity=64, order="bundle",
+              sorted_passes=8, flat_capacity=4096)
+    exact = grt.trace(pos, quat, scale, opa, feats, o, d, **kw)
+    packed = grt.trace(pos, quat, scale, opa, feats, o, d, **kw,
+                       packed_cull=True)
+    assert bool(exact.overflow) == bool(packed.overflow)
+    np.testing.assert_array_equal(np.asarray(exact.visibility),
+                                  np.asarray(packed.visibility))
+    np.testing.assert_array_equal(np.asarray(exact.rgb),
+                                  np.asarray(packed.rgb))
+    np.testing.assert_array_equal(np.asarray(exact.opacity),
+                                  np.asarray(packed.opacity))
+    np.testing.assert_array_equal(np.asarray(exact.depth),
+                                  np.asarray(packed.depth))

@@ -324,6 +324,98 @@ def bundle_candidates_twolevel(
     return cand_idx[iperm], counts[iperm], overflow, visibility
 
 
+def bundle_candidates_twolevel_packed(
+    positions, radius, valid, rays_o, rays_d, bundle_size, capacity,
+    super_mult: int = 16, super_capacity: int = 8192,
+):
+    """Packed-key variant of the two-level cull for LARGE scenes: both
+    compaction sorts run on a SINGLE int32 operand (quantized depth in the
+    high bits, list position in the low bits) instead of (f32 key, i32
+    payload) pairs — halving the dominant sort cost (at 1M Gaussians the
+    exact path spends 421 ms in the L2 depth sort + 131 ms in the L1 top_k;
+    RESULTS.md). Positions are resolved back to global particle ids by ONE
+    flat-total-sized gather after flatten_candidates.
+
+    Semantics: candidate SETS are identical to the exact path (hit tests
+    unchanged); the candidate ORDER quantizes depth to 11 bits (L1) / 13
+    bits (L2), so entries within one quantization bucket order by list
+    position instead of exact depth. Per-bucket displacement lands on
+    genuinely near-tie depths, the same bounded-displacement class the
+    in-kernel per-ray re-sort already absorbs and the sorted-mode stress
+    quantifies (RESULTS.md); the accuracy A/B at 1M is recorded there.
+
+    Returns (cand_local [nb, keep] i32 positions into the super list,
+    counts [nb], overflow, visibility, sup_idx [ns, s_cap], sup_of [nb]
+    i32 super index per caller-order bundle)."""
+    n = positions.shape[0]
+    r_total = rays_o.shape[0]
+    nb = r_total // bundle_size
+    ns = nb // super_mult
+    assert ns * super_mult == nb
+    assert n <= (1 << 20), "packed cull: 20 position bits at level 1"
+    s_cap = min(super_capacity, n)
+    assert s_cap <= (1 << 18), "packed cull: 18 position bits at level 2"
+    filler = jnp.int32(0x7FFFFFFF)
+
+    bundles = make_bundles(rays_o, rays_d, bundle_size)
+    perm = bundle_morton_order(bundles)
+    sup = make_super_bundles(bundles, perm, super_mult)
+    hit1, t_ax1 = _cone_hit(positions, radius, valid, sup)    # [ns, N]
+    counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
+    overflow1 = jnp.any(counts1 > s_cap)
+    visibility = jnp.any(hit1, axis=0)
+
+    def qbits(t, hit, bits):
+        big = jnp.float32(3.4e38)
+        lo = jnp.min(jnp.where(hit, t, big), axis=-1, keepdims=True)
+        hi = jnp.max(jnp.where(hit, t, -big), axis=-1, keepdims=True)
+        s = ((1 << bits) - 1) / jnp.maximum(hi - lo, 1e-12)
+        return jnp.clip((t - lo) * s, 0, (1 << bits) - 1).astype(jnp.int32)
+
+    pos1 = jax.lax.broadcasted_iota(jnp.int32, hit1.shape, 1)
+    key1 = jnp.where(hit1, (qbits(t_ax1, hit1, 11) << 20) | pos1, filler)
+    key1 = jax.lax.sort(key1, dimension=-1)
+    sup_idx = key1[:, :s_cap] & 0xFFFFF                       # [ns, s_cap]
+
+    # Level 2 (identical MXU-form cone test to the exact path).
+    p_s = positions[sup_idx.reshape(-1)].reshape(ns, s_cap, 3)
+    r_s = radius[sup_idx.reshape(-1)].reshape(ns, s_cap)
+    ob = bundles.origin[perm].reshape(ns, super_mult, 3)
+    db = bundles.direction[perm].reshape(ns, super_mult, 3)
+    base = bundles.base_radius[perm].reshape(ns, super_mult)
+    tan = bundles.tan_spread[perm].reshape(ns, super_mult)
+    coh = bundles.coherent[perm].reshape(ns, super_mult)
+    s_slot = jnp.arange(s_cap, dtype=jnp.int32)
+    sup_mask = s_slot[None, :] < jnp.minimum(counts1, s_cap)[:, None]
+
+    pd = jnp.einsum("nsc,nmc->nms", p_s, db)
+    od = jnp.einsum("nmc,nmc->nm", ob, db)
+    t_ax = pd - od[:, :, None]
+    pp = jnp.sum(p_s * p_s, axis=-1)
+    po = jnp.einsum("nsc,nmc->nms", p_s, ob)
+    oo = jnp.sum(ob * ob, axis=-1)
+    d_sq = pp[:, None, :] - 2.0 * po + oo[..., None] - t_ax * t_ax
+    d_ax = jnp.sqrt(jnp.maximum(d_sq, 0.0))
+    limit = (r_s[:, None, :] + base[..., None]
+             + jnp.maximum(t_ax, 0.0) * tan[..., None])
+    cone_ok = (d_ax <= limit) & (t_ax >= -r_s[:, None, :])
+    hit2 = sup_mask[:, None, :] & (cone_ok | ~coh[..., None])
+    counts2 = jnp.sum(hit2.astype(jnp.int32), axis=-1)
+    overflow = overflow1 | jnp.any(counts2 > capacity)
+
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, hit2.shape, 2)
+    key2 = jnp.where(hit2, (qbits(t_ax, hit2, 13) << 18) | pos2, filler)
+    key2 = jax.lax.sort(key2, dimension=-1)
+    keep = min(capacity, s_cap)
+    cand_local = (key2[..., :keep] & 0x3FFFF).reshape(nb, keep)
+    counts = jnp.minimum(counts2, keep).reshape(nb)
+    iperm = jnp.zeros((nb,), jnp.int32).at[perm].set(
+        jnp.arange(nb, dtype=jnp.int32))
+    sup_of = iperm // super_mult                              # [nb]
+    return (cand_local[iperm], counts[iperm], overflow, visibility,
+            sup_idx, sup_of)
+
+
 def flatten_candidates(cand_idx: jnp.ndarray, counts: jnp.ndarray,
                        flat_capacity: int):
     """Per-bundle padded candidate lists -> ONE flat CHUNK-aligned layout.
@@ -340,9 +432,10 @@ def flatten_candidates(cand_idx: jnp.ndarray, counts: jnp.ndarray,
 
     cand_idx: [nb, L] particle ids, depth-ascending per bundle (entries at
     j >= counts[b] are ignored). Returns (flat_idx [capF] i32, valid [capF]
-    bool, win_starts [nb] i32, win_ends [nb] i32, overflow [] bool). Under
-    overflow, bundles whose rows fall past capF render empty (a straddling
-    bundle keeps its nearest candidates) — strictly flagged, like the tile
+    bool, win_starts [nb] i32, win_ends [nb] i32, overflow [] bool,
+    win_bundle [capF/CHUNK] i32 owning bundle per window). Under overflow,
+    bundles whose rows fall past capF render empty (a straddling bundle
+    keeps its nearest candidates) — strictly flagged, like the tile
     binning's truncation.
     """
     from threedgrut_tpu.ops.pallas import bundle_trace
@@ -388,7 +481,13 @@ def flatten_candidates(cand_idx: jnp.ndarray, counts: jnp.ndarray,
     valid = valid_w.reshape(capF)
     win_starts = jnp.minimum(offw, nw).astype(jnp.int32)
     win_ends = jnp.minimum((offsets + padded) // ch, nw).astype(jnp.int32)
-    return flat_idx, valid, win_starts, win_ends, overflow
+    # Owning bundle per flat window (same scatter-max/cummax trick; windows
+    # past `total` report the last bundle — they are invalid anyway).
+    win_bundle = jax.lax.cummax(
+        jnp.zeros((nw,), jnp.int32).at[offw_c].max(
+            jnp.arange(nb, dtype=jnp.int32) + 1)) - 1
+    win_bundle = jnp.maximum(win_bundle, 0)
+    return flat_idx, valid, win_starts, win_ends, overflow, win_bundle
 
 
 def pack_rows64(positions, quats, scales, opacities, features) -> jnp.ndarray:
@@ -434,6 +533,7 @@ def trace(
     sorted_passes: int = C.GRT_SORTED_PASSES,
     super_capacity: int = 8192,
     flat_capacity: int | None = None,
+    packed_cull: bool = False,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -458,7 +558,13 @@ def trace(
     `flat_capacity` (fast path only) bounds the TOTAL flat candidate rows
     across all bundles (flatten_candidates); None = the dense worst case
     nb*candidate_capacity. Overflow is reported as data — grow and retrace
-    like the 3DGUT isect_capacity."""
+    like the 3DGUT isect_capacity.
+
+    `packed_cull` (fast two-level path only) switches both compaction
+    sorts to single-operand packed keys (quantized depth | position) —
+    ~2x faster culling at large N; candidate SETS are identical, candidate
+    ORDER quantizes depth to 11/13 bits (near-tie displacements only; see
+    bundle_candidates_twolevel_packed and the RESULTS.md accuracy A/B)."""
     r_total = rays_o.shape[0]
     assert r_total % bundle_size == 0
     nb = r_total // bundle_size
@@ -477,8 +583,19 @@ def trace(
     # upper levels). Falls back to the single-level dense test for small
     # scenes / few bundles (where [nb, N] is already cheap).
     super_mult = 16
-    if (positions.shape[0] > super_capacity
-            and nb % super_mult == 0 and nb >= 2 * super_mult):
+    resolver = None
+    two_level = (positions.shape[0] > super_capacity
+                 and nb % super_mult == 0 and nb >= 2 * super_mult)
+    fast = (order == "bundle" and not return_normals and bundle_size == 256
+            and not surfel)
+    if two_level and packed_cull and fast:
+        (cand_idx, cand_counts, overflow, visibility, sup_idx, sup_of) = \
+            bundle_candidates_twolevel_packed(
+                positions, radius, valid, rays_o, d_safe, bundle_size,
+                candidate_capacity, super_mult=super_mult,
+                super_capacity=super_capacity)
+        resolver = (sup_idx, sup_of)
+    elif two_level:
         cand_idx, cand_counts, overflow, visibility = \
             bundle_candidates_twolevel(
                 positions, radius, valid, rays_o, d_safe, bundle_size,
@@ -489,13 +606,12 @@ def trace(
         cand_idx, cand_counts, overflow, visibility = bundle_candidates(
             positions, radius, valid, bundles, candidate_capacity)
 
-    if (order == "bundle" and not return_normals and bundle_size == 256
-            and not surfel):
+    if fast:
         return _trace_bundle_kernel(
             positions, quats, scales, opacities, features, rays_o, rays_dn,
             active, cand_idx, cand_counts, overflow, visibility, sh_degree,
             kernel_degree, min_transmittance, initial_transmittance, t_max,
-            sorted_passes, flat_capacity)
+            sorted_passes, flat_capacity, resolver)
     # Oracle ("ray") path: dense per-bundle lists, truncated to capacity
     # (nearest-first — lists are depth-ascending).
     keepc = min(candidate_capacity, cand_idx.shape[1])
@@ -587,7 +703,8 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
                          rays_o, rays_dn, active, cand_idx, cand_counts,
                          overflow, visibility, sh_degree, kernel_degree,
                          min_transmittance, initial_transmittance, t_max,
-                         sorted_passes=0, flat_capacity=None):
+                         sorted_passes=0, flat_capacity=None,
+                         resolver=None):
     """Fast path: flat-compact the per-bundle candidate lists
     (flatten_candidates), gather candidate rows once (scatter-free VJP), and
     run the Pallas bundle compositor over per-bundle window ranges.
@@ -608,9 +725,20 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
     if flat_capacity is None:
         flat_capacity = nb * (-(-cap // bundle_trace.CHUNK)
                               * bundle_trace.CHUNK)
-    flat_idx, valid, win_starts, win_ends, ovf_flat = flatten_candidates(
-        cand_idx, cand_counts, flat_capacity)
+    (flat_idx, valid, win_starts, win_ends, ovf_flat,
+     win_bundle) = flatten_candidates(cand_idx, cand_counts, flat_capacity)
     overflow = overflow | ovf_flat
+    if resolver is not None:
+        # Packed cull: flat_idx holds LOCAL positions into each bundle's
+        # super list — resolve to global particle ids with one flat-sized
+        # element gather (the whole point: this replaces the i32 payload
+        # operand of both culling sorts).
+        sup_idx, sup_of = resolver
+        s_capr = sup_idx.shape[1]
+        ch = bundle_trace.CHUNK
+        sup_slot = sup_of[win_bundle]                        # [nw]
+        g1d = (jnp.repeat(sup_slot * s_capr, ch) + flat_idx)
+        flat_idx = jnp.where(valid, sup_idx.reshape(-1)[g1d], 0)
 
     rows64 = pack_rows64(positions, quats, scales, opacities, features)
 

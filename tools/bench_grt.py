@@ -116,7 +116,8 @@ def main():
               flush=True)
 
     trace_kw = dict(candidate_capacity=cand, super_capacity=super_cap,
-                    flat_capacity=flat_cap)
+                    flat_capacity=flat_cap,
+                    packed_cull=bool(os.environ.get("BENCH_PACKED")))
 
     if infer:
         def fwd(pos, opa, prev_rgb):
@@ -166,6 +167,7 @@ def main():
         "n_rays": n_rays,
         "candidate_capacity": cand,
         "flat_capacity": flat_cap,
+        "packed_cull": trace_kw["packed_cull"],
         "candidate_overflow": overflow,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))

@@ -91,7 +91,7 @@ def main(stages):
 
     if want("cull2"):
         # Two-level internals at the zero-truncation super capacity.
-        S_CAP = 24320
+        S_CAP = int(os.environ.get("GRT_SCAP2", "24320"))
         valid = opa >= C.MIN_ALPHA
         bundles_m = jax.jit(lambda oo, dd: grt.make_bundles(oo, dd, 256))(
             o, d)
@@ -149,7 +149,7 @@ def main(stages):
     def do_flatten(ci, cn):
         return grt.flatten_candidates(ci, cn, FLAT_CAP)
 
-    flat_idx, valid, ws, we, ovf_f = do_flatten(cand_idx, cand_counts)
+    flat_idx, valid, ws, we, ovf_f, _wb = do_flatten(cand_idx, cand_counts)
     if want("flatten"):
         timed("flatten_candidates", do_flatten, cand_idx, cand_counts)
         counts = np.asarray(cand_counts)
