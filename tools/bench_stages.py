@@ -162,6 +162,24 @@ def main(stages):
         print(f"    unsaturated pixels {frac_pix:.4f}, tiles w/ straggler "
               f"{frac_tile:.4f}")
 
+    if want("contrib"):
+        # Perfect-cull upper bound: fraction of slots whose particle
+        # contributes w_ > 0 to ANY pixel of its tile (kernel emit_flags
+        # bit). 1 - this is what an ORACLE cull could remove from capacity;
+        # no computable test can reach it (the response evaluation IS the
+        # kernel), but it bounds every culling idea's payoff.
+        @jax.jit
+        def do_flags(ds, b, r):
+            return tile_raster._forward(
+                ds, b.tile_starts, b.tile_ends, r, 2, 1e-4, 0.0113,
+                1 / 255, 0.99, has_t_max=False, emit_flags=True)[1]
+        flags = np.asarray(do_flags(data_sorted, binning, rays))
+        ranges = (np.asarray(binning.tile_ends)
+                  - np.asarray(binning.tile_starts)).astype(np.float64)
+        tot = max(ranges.sum(), 1.0)
+        print(f"    contributing slots {flags.sum() / tot:.4f} of range "
+              f"(cap {flags.shape[0]})")
+
     if want("lanes"):
         # Lane-compaction sizing census (kernel census mode, row 7): how
         # many slots are walked while <= 128 (<= 64) pixels are alive — the
