@@ -511,14 +511,14 @@ def test_packed_cull_matches_exact():
     kw = dict(candidate_capacity=128, super_capacity=64, order="bundle",
               sorted_passes=8, flat_capacity=4096)
     exact = grt.trace(pos, quat, scale, opa, feats, o, d, **kw)
-    packed = grt.trace(pos, quat, scale, opa, feats, o, d, **kw,
-                       packed_cull=True)
-    assert bool(exact.overflow) == bool(packed.overflow)
-    np.testing.assert_array_equal(np.asarray(exact.visibility),
-                                  np.asarray(packed.visibility))
-    np.testing.assert_array_equal(np.asarray(exact.rgb),
-                                  np.asarray(packed.rgb))
-    np.testing.assert_array_equal(np.asarray(exact.opacity),
-                                  np.asarray(packed.opacity))
-    np.testing.assert_array_equal(np.asarray(exact.depth),
-                                  np.asarray(packed.depth))
+    for pkw in (dict(packed_cull=True), dict(packed_l1=True)):
+        packed = grt.trace(pos, quat, scale, opa, feats, o, d, **kw, **pkw)
+        assert bool(exact.overflow) == bool(packed.overflow), pkw
+        np.testing.assert_array_equal(np.asarray(exact.visibility),
+                                      np.asarray(packed.visibility))
+        np.testing.assert_array_equal(np.asarray(exact.rgb),
+                                      np.asarray(packed.rgb))
+        np.testing.assert_array_equal(np.asarray(exact.opacity),
+                                      np.asarray(packed.opacity))
+        np.testing.assert_array_equal(np.asarray(exact.depth),
+                                      np.asarray(packed.depth))

@@ -115,9 +115,10 @@ def main():
                "flat_cap": flat_cap},
               flush=True)
 
+    pk = os.environ.get("BENCH_PACKED", "")
     trace_kw = dict(candidate_capacity=cand, super_capacity=super_cap,
                     flat_capacity=flat_cap,
-                    packed_cull=bool(os.environ.get("BENCH_PACKED")))
+                    packed_cull=(pk == "1"), packed_l1=(pk == "l1"))
 
     if infer:
         def fwd(pos, opa, prev_rgb):
@@ -167,7 +168,7 @@ def main():
         "n_rays": n_rays,
         "candidate_capacity": cand,
         "flat_capacity": flat_cap,
-        "packed_cull": trace_kw["packed_cull"],
+        "packed_cull": pk or False,
         "candidate_overflow": overflow,
         "step_ms": round(1000.0 * dt / iters, 2),
     }))
