@@ -13,8 +13,11 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--path", default=None, help="dataset path")
-    ap.add_argument("--dataset-type", default="nerf")
+    ap.add_argument("--path", default=None,
+                    help="dataset path (default: the checkpoint's)")
+    ap.add_argument("--dataset-type", default=None,
+                    help="nerf|colmap|scannetpp|synthetic (default: the "
+                         "checkpoint's)")
     ap.add_argument("--split", default="test")
     ap.add_argument("--out-dir", default="render_out")
     ap.add_argument("--save-gt", action="store_true")
@@ -24,6 +27,22 @@ def main(argv=None):
 
     from threedgrut_tpu import datasets
     from threedgrut_tpu.render_eval import Renderer
+
+    # The checkpoint carries the training config (reference render.py
+    # restores conf from the checkpoint too) — CLI flags override it.
+    if args.dataset_type is None or args.path is None:
+        import os
+        cfg_path = os.path.splitext(args.checkpoint)[0] + ".json"
+        ds_cfg = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                ds_cfg = json.load(f).get("dataset", {})
+        if args.dataset_type is None:
+            args.dataset_type = ds_cfg.get("type", "nerf")
+        if args.path is None:
+            args.path = ds_cfg.get("path") or None
+    if args.path is None and args.dataset_type != "synthetic":
+        ap.error("--path required (checkpoint stores no dataset path)")
 
     dataset = datasets.make(args.dataset_type, args.path, split=args.split)
     renderer = Renderer.from_checkpoint(args.checkpoint, dataset)

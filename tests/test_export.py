@@ -95,6 +95,10 @@ def test_normalizing_transform():
     poses = np.stack([np.eye(4)] * 5)
     poses[:, :3, 3] = rng.normal(size=(5, 3)) + 10.0
     T = estimate_normalizing_transform(poses)
+    # A plain LIST of 4x4s (what datasets hand the trainer's USDZ export)
+    # must work identically — regression for the r4 CLI acceptance crash.
+    T_list = estimate_normalizing_transform([p for p in poses])
+    np.testing.assert_array_equal(T, T_list)
     # Mean camera maps to the origin.
     mean = poses[:, :3, 3].mean(0)
     out = T[:3, :3] @ mean + T[:3, 3]

@@ -245,7 +245,17 @@ def _coerce(old: Any, text: str) -> Any:
     if isinstance(old, float):
         return float(text)
     if isinstance(old, tuple):
-        return tuple(json.loads(text))
+        # Accept JSON lists ("[7000,30000]"), bare comma lists
+        # ("7000,30000"), and scalars ("300" -> one-element tuple) — the
+        # reference's Hydra accepts the same shapes for list fields.
+        try:
+            v = json.loads(text)
+        except (ValueError, json.JSONDecodeError):
+            v = [t for t in text.split(",") if t.strip()]
+        if not isinstance(v, (list, tuple)):
+            v = [v]
+        elem = type(old[0]) if old else float
+        return tuple(elem(x) for x in v)
     if old is None:
         try:
             return json.loads(text)

@@ -34,6 +34,7 @@ def estimate_normalizing_transform(poses: np.ndarray) -> np.ndarray:
     with world Y (reference normalizing_transform.py:4-55)."""
     if len(poses) == 0:
         return np.eye(4)
+    poses = np.asarray(poses)           # datasets may hand a list of 4x4s
     positions = poses[:, :3, 3]
     avg_position = positions.mean(axis=0)
     avg_down = poses[:, :3, 1].mean(axis=0)

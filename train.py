@@ -41,15 +41,19 @@ def main(argv=None):
     cfg.out_dir = special.get("out_dir", cfg.out_dir)
     cfg.experiment_name = special.get("experiment_name", cfg.experiment_name)
     cfg.resume = special.get("resume", cfg.resume)
-    if "nerf" in args.config_name:
-        cfg.dataset.type = "nerf"
-    elif "scannetpp" in args.config_name:
-        cfg.dataset.type = "scannetpp"
-    elif "colmap" in args.config_name:
-        cfg.dataset.type = "colmap"
+    # Preset-name-derived dataset type is a DEFAULT only — an explicit
+    # dataset.type=... override wins (it used to be silently clobbered).
+    if not any(ov.startswith("dataset.type=") for ov in args.overrides):
+        if "nerf" in args.config_name:
+            cfg.dataset.type = "nerf"
+        elif "scannetpp" in args.config_name:
+            cfg.dataset.type = "scannetpp"
+        elif "colmap" in args.config_name:
+            cfg.dataset.type = "colmap"
 
-    if not cfg.dataset.path:
-        ap.error("dataset path required: path=/path/to/scene")
+    if not cfg.dataset.path and cfg.dataset.type != "synthetic":
+        ap.error("dataset path required: path=/path/to/scene "
+                 "(dataset.type=synthetic needs none)")
 
     from threedgrut_tpu import datasets, optimizers
     from threedgrut_tpu.model import gaussians
