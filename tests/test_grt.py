@@ -522,3 +522,50 @@ def test_packed_cull_matches_exact():
                                       np.asarray(packed.opacity))
         np.testing.assert_array_equal(np.asarray(exact.depth),
                                       np.asarray(packed.depth))
+
+
+def test_flat_cull_matches_exact():
+    """flat_cull=True (flat-compacted super lists + segmented member-column
+    depth sort) is a pure layout transform: identical candidate sets AND
+    per-bundle order (same keys, same stable ties) as the dense two-level
+    path, so OUTPUTS must match bit-for-bit on any scene. Gradients see the
+    same cotangent rows at different FLAT positions (bundle layout order
+    differs), so the per-particle segment sums reassociate — f32-reorder
+    tolerance only, like the old tiered-capacity split."""
+    pos, quat, scale, opa, feats = random_scene(n=96, seed=23)
+    rng = np.random.default_rng(24)
+    os_, ds_ = [], []
+    for b in range(32):
+        o = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (256, 1))
+        d = np.stack([0.03 * (b % 6) + rng.uniform(-0.2, 0.2, 256),
+                      0.03 * (b // 6) + rng.uniform(-0.2, 0.2, 256),
+                      np.ones(256)], -1).astype(np.float32)
+        os_.append(o)
+        ds_.append(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(np.concatenate(os_))
+    d = jnp.asarray(np.concatenate(ds_))
+
+    kw = dict(candidate_capacity=96, super_capacity=64, order="bundle",
+              sorted_passes=8, flat_capacity=8192)
+
+    def run(flat):
+        def f(opa):
+            out = grt.trace(pos, quat, scale, opa, feats, o, d, **kw,
+                            flat_cull=flat)
+            return jnp.sum(out.rgb ** 2) + jnp.sum(out.opacity), out
+        (_, out), g = jax.value_and_grad(f, has_aux=True)(opa)
+        return out, g
+
+    exact, g0 = run(False)
+    flat, g1 = run(True)
+    assert bool(exact.overflow) == bool(flat.overflow)
+    np.testing.assert_array_equal(np.asarray(exact.visibility),
+                                  np.asarray(flat.visibility))
+    np.testing.assert_array_equal(np.asarray(exact.rgb),
+                                  np.asarray(flat.rgb))
+    np.testing.assert_array_equal(np.asarray(exact.opacity),
+                                  np.asarray(flat.opacity))
+    np.testing.assert_array_equal(np.asarray(exact.depth),
+                                  np.asarray(flat.depth))
+    a, b = np.asarray(g1), np.asarray(g0)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6 * np.abs(b).max())

@@ -508,6 +508,179 @@ def flatten_candidates(cand_idx: jnp.ndarray, counts: jnp.ndarray,
     return flat_idx, valid, win_starts, win_ends, overflow, win_bundle
 
 
+def _flatten_from_windows(src_win, src_base_w, counts, flat_capacity):
+    """Core of flatten_candidates with an EXPLICIT per-bundle source window
+    base: bundle b's candidates start at window src_base_w[b] of src_win
+    ([Mw, CHUNK] rows) with counts[b] valid slots. Requires src_base_w,
+    the exclusive-cumsum offsets, and offsets+counts all ascending in b
+    AND src_base step >= padded step (the scatter-max/cummax segment fill
+    depends on it) — callers order bundles to guarantee this.
+
+    Returns (flat_idx [capF], valid [capF], win_starts [nb], win_ends [nb],
+    overflow [], win_bundle [capF/CHUNK])."""
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    ch = bundle_trace.CHUNK
+    capF = int(flat_capacity)
+    assert capF % ch == 0
+    nb = counts.shape[0]
+    mw = src_win.shape[0]
+    counts = counts.astype(jnp.int32)
+    padded = -(-counts // ch) * ch
+    offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    total = offsets[-1] + padded[-1]
+    overflow = total > capF
+    nw = capF // ch
+
+    offw = offsets // ch
+    w = jnp.arange(nw, dtype=jnp.int32)
+    dw = src_base_w.astype(jnp.int32) - offw
+    ve = offsets + counts
+    offw_c = jnp.clip(offw, 0, nw - 1)
+    dw_of = jax.lax.cummax(
+        jnp.zeros((nw,), jnp.int32).at[offw_c].max(dw + (1 << 20))) \
+        - (1 << 20)
+    ve_of = jax.lax.cummax(
+        jnp.zeros((nw,), jnp.int32).at[offw_c].max(ve + 1)) - 1
+    src_w = jnp.clip(w + dw_of, 0, mw - 1)
+    flat_win = src_win[src_w]                           # [nw, ch]
+    slot_in_w = jax.lax.broadcasted_iota(jnp.int32, (nw, ch), 1)
+    valid_w = (w[:, None] * ch + slot_in_w) < ve_of[:, None]
+    flat_idx = jnp.where(valid_w, flat_win, 0).reshape(capF)
+    win_starts = jnp.minimum(offw, nw).astype(jnp.int32)
+    win_ends = jnp.minimum((offsets + padded) // ch, nw).astype(jnp.int32)
+    win_bundle = jnp.maximum(jax.lax.cummax(
+        jnp.zeros((nw,), jnp.int32).at[offw_c].max(
+            jnp.arange(nb, dtype=jnp.int32) + 1)) - 1, 0)
+    return (flat_idx, valid_w.reshape(capF), win_starts, win_ends,
+            overflow, win_bundle)
+
+
+def bundle_candidates_twolevel_flat(
+    positions, radius, valid, rays_o, rays_d, bundle_size, capacity,
+    super_mult: int = 16, super_capacity: int = 8192,
+    super_flat_capacity: int | None = None, flat_capacity: int | None = None,
+):
+    """Two-level cull with FLAT-COMPACTED super lists (exact semantics —
+    identical candidate sets and order to bundle_candidates_twolevel).
+
+    The dense path pads every super list to s_cap, so the L2 cone test and
+    the per-bundle depth sort pay ns*s_cap = 13.9M slots at 1M Gaussians
+    while the true super-list mass is ~4.3M (measured: outlier cones pin
+    the padded width at 195k vs a 65k mean). Here:
+      * super lists flat-compact to `super_flat_capacity` (flatten
+        machinery at window granularity) — particle gathers shrink 3.2x;
+      * the L2 test runs per (flat super slot, member): [capS/128, 128, 16]
+        batched einsums — 66.7M pair tests instead of 222M;
+      * the per-bundle depth sort becomes a SEGMENTED sort over the 16
+        member columns ([16, capS], keys = (super, depth), stable ties =
+        super-list position — the same tie order as the dense path), 381
+        vs 606 ms measured at the 1M shapes;
+      * the final flat candidate layout is built directly from the sorted
+        columns (bundle segments are CHUNK-aligned source ranges), skipping
+        the dense [nb, keep] intermediate entirely.
+
+    Returns kernel-ready flat products + bookkeeping:
+    (flat_idx [capF], valid [capF], win_starts [nb], win_ends [nb],
+    overflow [], visibility [N]) with win_* in CALLER bundle order.
+    """
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    ch = bundle_trace.CHUNK
+    n = positions.shape[0]
+    r_total = rays_o.shape[0]
+    nb = r_total // bundle_size
+    ns = nb // super_mult
+    m = super_mult
+    assert ns * m == nb
+    s_cap = min(super_capacity, n)
+    if super_flat_capacity is None:
+        super_flat_capacity = ns * (-(-s_cap // ch) * ch)   # dense worst case
+    capS = int(super_flat_capacity)
+    assert capS % ch == 0
+    if flat_capacity is None:
+        flat_capacity = nb * (-(-min(capacity, s_cap) // ch) * ch)
+
+    bundles = make_bundles(rays_o, rays_d, bundle_size)
+    perm = bundle_morton_order(bundles)
+    sup = make_super_bundles(bundles, perm, m)
+    hit1, t_ax1 = _cone_hit(positions, radius, valid, sup)    # [ns, N]
+    counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
+    overflow = jnp.any(counts1 > s_cap)
+    visibility = jnp.any(hit1, axis=0)
+    key1 = jnp.where(hit1, -t_ax1, -jnp.inf)
+    _, sup_idx = jax.lax.top_k(key1, s_cap)                   # [ns, s_cap]
+    sup_idx = sup_idx.astype(jnp.int32)
+
+    # Flatten super lists (flatten_candidates reused verbatim: "bundles"
+    # here are supers). flat_sup holds particle ids depth-ascending per
+    # super; valid_s masks intra-segment padding.
+    (flat_sup, valid_s, sup_ws, sup_we, ovf_s,
+     win_sup) = flatten_candidates(sup_idx, counts1, capS)
+    overflow = overflow | ovf_s
+    nws = capS // ch
+
+    # L2 cone test per (flat slot, member) at window granularity: member
+    # params are per-window row gathers ([nws] rows), the contractions are
+    # batched window einsums.
+    p_s = positions[flat_sup].reshape(nws, ch, 3)
+    r_s = jnp.where(valid_s, radius[flat_sup], -1e30).reshape(nws, ch)
+    ob = bundles.origin[perm].reshape(ns, m, 3)[win_sup]      # [nws, m, 3]
+    db = bundles.direction[perm].reshape(ns, m, 3)[win_sup]
+    base = bundles.base_radius[perm].reshape(ns, m)[win_sup]  # [nws, m]
+    tan = bundles.tan_spread[perm].reshape(ns, m)[win_sup]
+    coh = bundles.coherent[perm].reshape(ns, m)[win_sup]
+
+    t_ax = (jnp.einsum("wpc,wmc->wpm", p_s, db)
+            - jnp.einsum("wmc,wmc->wm", ob, db)[:, None, :])  # [nws, ch, m]
+    pp = jnp.sum(p_s * p_s, axis=-1)                          # [nws, ch]
+    po = jnp.einsum("wpc,wmc->wpm", p_s, ob)
+    oo = jnp.sum(ob * ob, axis=-1)                            # [nws, m]
+    d_sq = pp[..., None] - 2.0 * po + oo[:, None, :] - t_ax * t_ax
+    d_ax = jnp.sqrt(jnp.maximum(d_sq, 0.0))
+    limit = (r_s[..., None] + base[:, None, :]
+             + jnp.maximum(t_ax, 0.0) * tan[:, None, :])
+    cone_ok = (d_ax <= limit) & (t_ax >= -r_s[..., None])
+    hit2 = ((cone_ok | ~coh[:, None, :])
+            & valid_s.reshape(nws, ch)[..., None])            # [nws, ch, m]
+
+    # counts2[(s, m)] from per-window sums + segment diffs at super ranges.
+    cum = jnp.cumsum(jnp.sum(hit2.astype(jnp.int32), axis=1), axis=0)
+    cum0 = jnp.concatenate([jnp.zeros((1, m), jnp.int32), cum])
+    counts2 = cum0[sup_we] - cum0[sup_ws]                     # [ns, m]
+    overflow = overflow | jnp.any(counts2 > capacity)
+
+    # Segmented member-column depth sort: keys (super of slot, per-member
+    # hit depth or +inf), payload particle id. Stable ties follow the
+    # super-list position — the same tie order as the dense path's sort.
+    supk = jnp.broadcast_to(win_sup[:, None], (nws, ch)).reshape(capS)
+    dep = jnp.where(hit2, t_ax, jnp.float32(3.4e38))          # [nws, ch, m]
+    dep_t = dep.reshape(capS, m).T                            # [m, capS]
+    supk_b = jnp.broadcast_to(supk[None], (m, capS))
+    gid_b = jnp.broadcast_to(flat_sup[None], (m, capS))
+    _, _, gid_sorted = jax.lax.sort((supk_b, dep_t, gid_b), num_keys=2,
+                                    dimension=-1)             # [m, capS]
+
+    # Final flat layout straight from the sorted columns, built in
+    # MEMBER-MAJOR (m, s) order so source bases ascend (required by
+    # _flatten_from_windows), then permuted to caller bundle order.
+    counts_o = jnp.minimum(counts2.T.reshape(nb), capacity)   # (m, s) order
+    src_base_o = (jnp.arange(m, dtype=jnp.int32)[:, None] * nws
+                  + sup_ws[None, :]).reshape(nb)
+    (flat_idx, valid_f, ws_o, we_o, ovf_f, _) = _flatten_from_windows(
+        gid_sorted.reshape(m * nws, ch), src_base_o, counts_o,
+        flat_capacity)
+    overflow = overflow | ovf_f
+
+    # (m, s)-order index of each caller bundle b: morton position p =
+    # iperm[b], s = p // m, member = p % m -> o = (p % m) * ns + p // m.
+    iperm = jnp.zeros((nb,), jnp.int32).at[perm].set(
+        jnp.arange(nb, dtype=jnp.int32))
+    o_of = (iperm % m) * ns + iperm // m
+    return (flat_idx, valid_f, ws_o[o_of], we_o[o_of], overflow,
+            visibility)
+
+
 def pack_rows64(positions, quats, scales, opacities, features) -> jnp.ndarray:
     """[N, 64] packed rows for the Pallas bundle compositor
     (ops/pallas/bundle_trace.py layout: A 9, mean 3, opacity 1, pad 3,
@@ -553,6 +726,8 @@ def trace(
     flat_capacity: int | None = None,
     packed_cull: bool = False,
     packed_l1: bool = False,
+    flat_cull: bool = False,
+    super_flat_capacity: int | None = None,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -607,6 +782,22 @@ def trace(
                  and nb % super_mult == 0 and nb >= 2 * super_mult)
     fast = (order == "bundle" and not return_normals and bundle_size == 256
             and not surfel)
+    if two_level and flat_cull and fast:
+        # Flat-compacted super lists: returns the kernel-ready flat
+        # candidate products directly (no dense [nb, cap] intermediate).
+        (flat_idx, valid_f, win_starts, win_ends, overflow,
+         visibility) = bundle_candidates_twolevel_flat(
+            positions, radius, valid, rays_o, d_safe, bundle_size,
+            candidate_capacity, super_mult=super_mult,
+            super_capacity=super_capacity,
+            super_flat_capacity=super_flat_capacity,
+            flat_capacity=flat_capacity)
+        return _trace_bundle_kernel(
+            positions, quats, scales, opacities, features, rays_o, rays_dn,
+            active, None, None, overflow, visibility, sh_degree,
+            kernel_degree, min_transmittance, initial_transmittance, t_max,
+            sorted_passes, flat_capacity,
+            flat_products=(flat_idx, valid_f, win_starts, win_ends))
     if two_level and packed_cull and fast:
         (cand_idx, cand_counts, overflow, visibility, sup_idx, sup_of) = \
             bundle_candidates_twolevel_packed(
@@ -723,7 +914,7 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
                          overflow, visibility, sh_degree, kernel_degree,
                          min_transmittance, initial_transmittance, t_max,
                          sorted_passes=0, flat_capacity=None,
-                         resolver=None):
+                         resolver=None, flat_products=None):
     """Fast path: flat-compact the per-bundle candidate lists
     (flatten_candidates), gather candidate rows once (scatter-free VJP), and
     run the Pallas bundle compositor over per-bundle window ranges.
@@ -739,14 +930,21 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
     from threedgrut_tpu.ops.pallas import bundle_trace
     from threedgrut_tpu.ops.sorted_gather import gather_rows
 
-    nb, cap = cand_idx.shape
     r_total = rays_o.shape[0]
-    if flat_capacity is None:
-        flat_capacity = nb * (-(-cap // bundle_trace.CHUNK)
-                              * bundle_trace.CHUNK)
-    (flat_idx, valid, win_starts, win_ends, ovf_flat,
-     win_bundle) = flatten_candidates(cand_idx, cand_counts, flat_capacity)
-    overflow = overflow | ovf_flat
+    nb = r_total // 256
+    if flat_products is not None:
+        # Precomputed by bundle_candidates_twolevel_flat.
+        flat_idx, valid, win_starts, win_ends = flat_products
+        win_bundle = None
+    else:
+        nb, cap = cand_idx.shape
+        if flat_capacity is None:
+            flat_capacity = nb * (-(-cap // bundle_trace.CHUNK)
+                                  * bundle_trace.CHUNK)
+        (flat_idx, valid, win_starts, win_ends, ovf_flat,
+         win_bundle) = flatten_candidates(cand_idx, cand_counts,
+                                          flat_capacity)
+        overflow = overflow | ovf_flat
     if resolver is not None:
         # Packed cull: flat_idx holds LOCAL positions into each bundle's
         # super list — resolve to global particle ids with one flat-sized

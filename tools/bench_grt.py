@@ -35,6 +35,7 @@ def main():
         n, side, cand, iters = 1_000_000, 512, 7680, 10
         super_cap = 216832         # probe super max 196936 +10%
         flat_cap = 3384832         # probe flat total 3076992 +10%
+        sflat_cap = 4591104        # probe super flat total 4173696 +10%
     elif on_tpu:
         # Capacities follow bench.py's autotune convention: derived once
         # from the true per-level candidate counts of this fixed seeded
@@ -43,10 +44,12 @@ def main():
         n, side, cand, iters = 100_000, 512, 1792, 10
         super_cap = 24320          # zero-truncation (probe max 22093 +10%)
         flat_cap = 919296          # flat total (probe 835584 +10%, 256-al.)
+        sflat_cap = 1004800        # probe super flat total 913408 +10%
     else:
         n, side, cand, iters = 2_000, 64, 256, 2
         super_cap = 1024
         flat_cap = None
+        sflat_cap = None
     n_rays = side * side
 
     rng = np.random.default_rng(0)
@@ -95,30 +98,37 @@ def main():
             # overflowing cap is visible.
             s_probe = min(int(n), 1 << 18)
             hit1, _ = grt._cone_hit(pos, radius, valid, sup)
-            c1 = jnp.max(jnp.sum(hit1.astype(jnp.int32), axis=1))
+            counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
+            c1 = jnp.max(counts1)
+            s_flat = jnp.sum(-(-counts1 // 128) * 128)
             ci, counts, ovf, _ = grt.bundle_candidates_twolevel(
                 pos, radius, valid, o, d, 256, s_probe,
                 super_capacity=s_probe)
-            return c1, counts
-        c1, counts = probe(pos, opa)
+            return c1, s_flat, counts
+        c1, s_flat, counts = probe(pos, opa)
         counts = np.asarray(counts)
         up = lambda x, h, a=256: -(-int(int(x) * h) // a) * a
         super_cap, cand = up(c1, 1.10), up(counts.max(), 1.15)
         ch = 128
         flat_total = int(np.sum(-(-counts // ch) * ch))
         flat_cap = up(flat_total, 1.10)
+        sflat_cap = up(int(s_flat), 1.10)
         print({"probe_super_max": int(c1),
+               "probe_super_flat_total": int(s_flat),
                "probe_cand_max": int(counts.max()),
                "probe_cand_mean": round(float(counts.mean()), 1),
                "probe_flat_total": flat_total,
                "super_cap": super_cap, "cand": cand,
-               "flat_cap": flat_cap},
+               "flat_cap": flat_cap, "sflat_cap": sflat_cap},
               flush=True)
 
     pk = os.environ.get("BENCH_PACKED", "")
     trace_kw = dict(candidate_capacity=cand, super_capacity=super_cap,
                     flat_capacity=flat_cap,
-                    packed_cull=(pk == "1"), packed_l1=(pk == "l1"))
+                    packed_cull=(pk == "1"), packed_l1=(pk == "l1"),
+                    flat_cull=(pk == "flat"),
+                    super_flat_capacity=(sflat_cap if pk == "flat"
+                                         else None))
 
     if infer:
         def fwd(pos, opa, prev_rgb):
