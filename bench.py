@@ -72,6 +72,10 @@ def main():
     # BENCH_ROWTERM=1/0 overrides per-pixel last-touch termination for A/B.
     if "BENCH_ROWTERM" in _os.environ:
         cfg.render.row_termination = bool(int(_os.environ["BENCH_ROWTERM"]))
+    # BENCH_WALKFRAC overrides the walked-compaction bound for A/B (0 = the
+    # plain two-stage backward).
+    if "BENCH_WALKFRAC" in _os.environ:
+        cfg.render.walk_compact_fraction = float(_os.environ["BENCH_WALKFRAC"])
     cfg_key = _register_cfg(cfg)
 
     cam = _example_camera(res)

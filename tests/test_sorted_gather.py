@@ -92,3 +92,24 @@ def test_forward_is_gather():
     # semantics; those slots sit past every tile range and are never read.
     idx = np.clip(np.asarray(sorted_idx), 0, packed.shape[0] - 1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(packed)[idx])
+
+
+def test_segment_sum_rows_by_ids_interpret():
+    # Direct interpret-mode contract for the by-ids Pallas variant (the
+    # pallas gate routes around it on CPU in production paths): sorted ids
+    # with gaps, duplicates, and >=n filler rows must reduce exactly like a
+    # per-id masked sum.
+    from threedgrut_tpu.ops.pallas.segment_sum import segment_sum_rows_by_ids
+
+    rng = np.random.default_rng(7)
+    n, cap, f = 512, 1024, 16
+    ids = np.sort(rng.choice(
+        np.r_[rng.integers(0, n, 200), np.full(56, n)], cap)).astype(np.int32)
+    g = rng.normal(size=(f, cap)).astype(np.float32)
+    out = segment_sum_rows_by_ids(jnp.asarray(g), jnp.asarray(ids), n)
+    ref = np.zeros((f, n), np.float32)
+    for p in range(n):
+        m = ids == p
+        if m.any():
+            ref[:, p] = g[:, m].sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)

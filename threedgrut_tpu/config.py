@@ -69,6 +69,15 @@ class RenderConfig:
     # longer force their tile to walk its full range. Same approximation
     # family as tile_culling, one level finer (ops/tiles.row_last_touch).
     row_termination: bool = False
+    # Train-step backward: bound the dominant cotangent unsort sort to this
+    # fraction of isect_capacity, exploiting the kernel's early exit (only
+    # ~46% of the slot range is ever walked at converged scenes and
+    # never-walked windows carry exactly-zero cotangents —
+    # ops/fused_raster.py). Gradients are EXACT at any value: steps whose
+    # walked-window count exceeds the bound take the full-capacity unsort
+    # via a lax.cond fallback, so a too-small fraction only costs speed.
+    # 0 disables the fused path entirely.
+    walk_compact_fraction: float = 0.625
     # Static capacity for tile intersections (pairs). Grown on overflow
     # outside jit; kept as a multiple of 64k to bound retraces.
     isect_capacity: int = 1 << 21

@@ -212,6 +212,12 @@ def _forward_kernel(wstarts_ref, wends_ref, data_hbm, rays_ref, out_ref,
 
     wf, _ = jax.lax.while_loop(cond, body, (w0, jnp.bool_(True)))
 
+    # Free diagnostics in the pad row (tile_raster convention): windows this
+    # bundle actually WALKED before the early exit. Consumed by the fused
+    # walked-compaction backward (ops/fused_raster.py) and the stage bench;
+    # nothing downstream reads row 7.
+    out_ref[0, 7, :] = jnp.full((PIX,), (wf - w0).astype(jnp.float32))
+
     for k in range(PREFETCH):
         @pl.when(wf + k < w1)
         def _(k=k):
@@ -486,6 +492,21 @@ def _fwd_rule(data, rays, win_starts, win_ends, degree, sh_degree,
 def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
               max_alpha, sorted_passes, res, g_out):
     data, rays, win_starts, win_ends, out = res
+    g_windows = _backward_windows(
+        data, rays, win_starts, win_ends, out, g_out, degree=degree,
+        sh_degree=sh_degree, min_transmittance=min_transmittance,
+        min_response=min_response, min_alpha=min_alpha, max_alpha=max_alpha,
+        sorted_passes=sorted_passes)
+    g_data = g_windows.transpose(0, 2, 1).reshape(-1, ROW64)
+    return g_data, None, None, None
+
+
+def _backward_windows(data, rays, win_starts, win_ends, out, g_out, *,
+                      degree, sh_degree, min_transmittance, min_response,
+                      min_alpha, max_alpha, sorted_passes):
+    """Backward kernel pass returning per-slot gradients in WINDOW layout
+    [W, ROW64, CHUNK] (for the fused walked-compaction backward,
+    ops/fused_raster.py)."""
     nb = rays.shape[0]
     wdata = _to_windows(data)
     kern = functools.partial(
@@ -527,8 +548,7 @@ def _bwd_rule(degree, sh_degree, min_transmittance, min_response, min_alpha,
         input_output_aliases={6: 0},
         interpret=_should_interpret(),
     )(win_starts, win_ends, wdata, rays, out, g_out, zeros)
-    g_data = g_windows.transpose(0, 2, 1).reshape(-1, ROW64)
-    return g_data, None, None, None
+    return g_windows
 
 
 bundle_composite.defvjp(_fwd_rule, _bwd_rule)

@@ -41,6 +41,111 @@ PBLK = 256   # particles per output block
 SBLK = 256   # slots per input window
 
 
+def _kernel_by_ids(wlo_ref, g_hbm, out_ref, dbuf, sem, *, precision, f):
+    """Membership from the id row instead of per-particle bounds: g_hbm is
+    [F_pad, cap] with the SORTED particle id (exact f32 integers) as row F
+    (rows beyond are alignment padding — Mosaic requires 8-sublane-aligned
+    DMA slices); block i owns particles [i*PBLK, (i+1)*PBLK) and its window
+    range comes from ~cap/PBLK searchsorted probes instead of a [N]-ends
+    vector — the fused walked-compaction backward's variant (computing
+    dense ends for a compacted subset costs a (cap+N)-row sort, measured
+    26 ms at bench shapes; the block probes are ~1 ms)."""
+    i = pl.program_id(0)
+    w_lo = wlo_ref[i]
+    w_hi = wlo_ref[i + pl.num_programs(0)]
+
+    def dma(w, slot):
+        return pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(w * SBLK, SBLK)], dbuf.at[slot], sem.at[slot])
+
+    @pl.when(w_lo <= w_hi)
+    def _():
+        dma(w_lo, w_lo % 2).start()
+
+    p0 = i * PBLK
+
+    def body(state):
+        w, acc = state
+        slot = w % 2
+        dma(w, slot).wait()
+
+        @pl.when(w + 1 <= w_hi)
+        def _():
+            dma(w + 1, (w + 1) % 2).start()
+
+        g_win = dbuf[slot][:f]                       # [F, SBLK]
+        ids = dbuf[slot][f, :][None, :]              # [1, SBLK] f32 ids
+        pl_iota = jax.lax.broadcasted_iota(jnp.int32, (PBLK, 1), 0)
+        member = (ids == (pl_iota + p0).astype(jnp.float32)
+                  ).astype(jnp.float32)              # [PBLK, SBLK]
+        acc = acc + jax.lax.dot_general(
+            g_win, member, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                      # [F, PBLK]
+        return w + 1, acc
+
+    def cond(state):
+        w, _ = state
+        return w <= w_hi
+
+    _, acc = jax.lax.while_loop(
+        cond, body, (w_lo, jnp.zeros((f, PBLK), jnp.float32)))
+    out_ref[...] = acc
+
+
+def segment_sum_rows_by_ids(g_cm: jnp.ndarray, ids_sorted: jnp.ndarray,
+                            n: int, bf16_values: bool = False) -> jnp.ndarray:
+    """Like segment_sum_rows, but segments come from the SORTED id column
+    itself: g_cm [F, cap] channel-major rows already stably sorted by
+    particle id, ids_sorted [cap] int32 that sort (rows with id >= n are
+    ignored). Returns [F, n] per-particle sums, channel-major (layout note
+    in segment_sum_rows). n and cap must be multiples of 256; ids must fit
+    f32 integers (< 2^24 — the isect-capacity packing ceiling already
+    enforces this)."""
+    import functools as _ft
+    f, cap = g_cm.shape
+    assert cap % SBLK == 0 and n % PBLK == 0, (cap, n)
+    n_blocks = n // PBLK
+
+    # Per-block window range from block-boundary probes: ~n/PBLK binary-
+    # search queries over the sorted ids (the default searchsorted method —
+    # ~log2(cap) rounds of (n/PBLK)-row gathers, ~1 ms; method="sort" here
+    # would re-pay the (cap+n) bitonic this kernel exists to avoid).
+    q = jnp.arange(0, n + 1, PBLK, dtype=jnp.int32)
+    pos = jnp.searchsorted(ids_sorted, q, side="left").astype(jnp.int32)
+    blk_start, blk_end = pos[:-1], pos[1:]
+    w_lo = (blk_start // SBLK).astype(jnp.int32)
+    w_hi = jnp.where(blk_end > blk_start, (blk_end - 1) // SBLK,
+                     w_lo - 1).astype(jnp.int32)
+    w_bounds = jnp.concatenate([w_lo, w_hi])
+
+    f_pad = -(-(f + 1) // 8) * 8
+    g_ext = jnp.concatenate(
+        [g_cm, ids_sorted.astype(jnp.float32)[None, :],
+         jnp.zeros((f_pad - f - 1, cap), jnp.float32)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((f, PBLK), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, f_pad, SBLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    prec = (jax.lax.Precision.DEFAULT if bf16_values
+            else jax.lax.Precision.HIGHEST)
+    return pl.pallas_call(
+        _ft.partial(_kernel_by_ids, precision=prec, f=f),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((f, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=tile_raster._should_interpret(),
+    )(w_bounds, g_ext)
+
+
 def _kernel(wlo_ref, bounds_hbm, g_hbm, out_ref, dbuf, sbuf, sem, ssem, *,
             precision):
     i = pl.program_id(0)

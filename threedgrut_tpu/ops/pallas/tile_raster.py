@@ -1165,6 +1165,26 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
               sorted_passes, has_t_max, aux_grads, aux_outputs, lowprec_grads,
               row_termination, res, g_out):
     data_sorted, tile_starts, tile_ends, rays, out = res
+    g_windows = _backward_windows(
+        data_sorted, tile_starts, tile_ends, rays, out, g_out, degree=degree,
+        min_transmittance=min_transmittance, min_response=min_response,
+        min_alpha=min_alpha, max_alpha=max_alpha, sorted_passes=sorted_passes,
+        has_t_max=has_t_max, aux_grads=aux_grads,
+        lowprec_grads=lowprec_grads, row_termination=row_termination)
+    g_data = _from_windows(g_windows)
+    return g_data, None, None, None
+
+
+def _backward_windows(data_sorted, tile_starts, tile_ends, rays, out, g_out,
+                      *, degree, min_transmittance, min_response, min_alpha,
+                      max_alpha, sorted_passes, has_t_max, aux_grads,
+                      lowprec_grads, row_termination):
+    """Backward kernel pass returning per-slot gradients in WINDOW layout
+    [W, ROW_F, CHUNK] (struct-of-arrays, same as the forward's HBM list).
+
+    Exposed separately from _bwd_rule so the fused walked-compaction path
+    (ops/fused_raster.py) can gather whole windows out of it without first
+    materializing the [capP, ROW_F] transpose."""
     num_tiles = rays.shape[0]
     wdata = _to_windows(data_sorted)
     kern = functools.partial(
@@ -1209,8 +1229,7 @@ def _bwd_rule(degree, min_transmittance, min_response, min_alpha, max_alpha,
         input_output_aliases={6: 0},
         interpret=_should_interpret(),
     )(tile_starts, tile_ends, wdata, rays, out, g_out, zeros)
-    g_data = _from_windows(g_windows)
-    return g_data, None, None, None
+    return g_windows
 
 
 tile_composite.defvjp(_fwd_rule, _bwd_rule)

@@ -728,6 +728,7 @@ def trace(
     packed_l1: bool = False,
     flat_cull: bool = False,
     super_flat_capacity: int | None = None,
+    walk_capacity: int | None = None,
 ) -> TraceResult:
     """Trace arbitrary rays through the Gaussian mixture.
 
@@ -797,7 +798,8 @@ def trace(
             active, None, None, overflow, visibility, sh_degree,
             kernel_degree, min_transmittance, initial_transmittance, t_max,
             sorted_passes, flat_capacity,
-            flat_products=(flat_idx, valid_f, win_starts, win_ends))
+            flat_products=(flat_idx, valid_f, win_starts, win_ends),
+            walk_capacity=walk_capacity)
     if two_level and packed_cull and fast:
         (cand_idx, cand_counts, overflow, visibility, sup_idx, sup_of) = \
             bundle_candidates_twolevel_packed(
@@ -821,7 +823,8 @@ def trace(
             positions, quats, scales, opacities, features, rays_o, rays_dn,
             active, cand_idx, cand_counts, overflow, visibility, sh_degree,
             kernel_degree, min_transmittance, initial_transmittance, t_max,
-            sorted_passes, flat_capacity, resolver)
+            sorted_passes, flat_capacity, resolver,
+            walk_capacity=walk_capacity)
     # Oracle ("ray") path: dense per-bundle lists, truncated to capacity
     # (nearest-first — lists are depth-ascending).
     keepc = min(candidate_capacity, cand_idx.shape[1])
@@ -914,7 +917,8 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
                          overflow, visibility, sh_degree, kernel_degree,
                          min_transmittance, initial_transmittance, t_max,
                          sorted_passes=0, flat_capacity=None,
-                         resolver=None, flat_products=None):
+                         resolver=None, flat_products=None,
+                         walk_capacity=None):
     """Fast path: flat-compact the per-bundle candidate lists
     (flatten_candidates), gather candidate rows once (scatter-free VJP), and
     run the Pallas bundle compositor over per-bundle window ranges.
@@ -970,11 +974,22 @@ def _trace_bundle_kernel(positions, quats, scales, opacities, features,
         tmx[:, None], t0[:, None]], axis=-1)                 # [R, 8]
     rays = rays_img.reshape(nb, 256, 8).transpose(0, 2, 1)   # [nb, 8, 256]
 
-    d = gather_rows(rows64, flat_idx)                        # [capF, 64]
-    d = d.at[:, 12].multiply(valid.astype(d.dtype))
-    out = bundle_trace.bundle_composite(
-        d, rays, win_starts, win_ends, kernel_degree, sh_degree,
-        min_transmittance, sorted_passes=sorted_passes)
+    if walk_capacity is not None and 0 < walk_capacity < flat_idx.shape[0]:
+        # Fused gather + compositor with the walked-window-compacted
+        # backward (ops/fused_raster.py): the gather transpose runs over
+        # the kernel's walked prefix instead of the full flat capacity.
+        from threedgrut_tpu.ops import fused_raster
+        out = fused_raster.composite_bundles(
+            rows64, flat_idx, valid, rays, win_starts, win_ends,
+            kernel_degree, sh_degree, min_transmittance,
+            C.MIN_KERNEL_RESPONSE, C.MIN_ALPHA, C.MAX_ALPHA, sorted_passes,
+            walk_capacity)
+    else:
+        d = gather_rows(rows64, flat_idx)                    # [capF, 64]
+        d = d.at[:, 12].multiply(valid.astype(d.dtype))
+        out = bundle_trace.bundle_composite(
+            d, rays, win_starts, win_ends, kernel_degree, sh_degree,
+            min_transmittance, sorted_passes=sorted_passes)
 
     def unrow(i):
         return out[:, i, :].reshape(r_total)
@@ -1041,6 +1056,7 @@ def render(
     density_clamping: bool = False,
     surfel: bool = False,
     flat_capacity: int | None = None,
+    walk_capacity: int | None = None,
 ):
     """Camera render through the trace path (render.method = 3dgrt).
 
@@ -1061,7 +1077,7 @@ def render(
                 bundle_size=C.TILE_SIZE,
                 candidate_capacity=candidate_capacity,
                 density_clamping=density_clamping, surfel=surfel,
-                flat_capacity=flat_capacity)
+                flat_capacity=flat_capacity, walk_capacity=walk_capacity)
 
     def unflat(x, ch=None):
         img = x.reshape(tile_grid[1] * tile_grid[0], C.TILE_SIZE, -1)

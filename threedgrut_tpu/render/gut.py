@@ -100,14 +100,14 @@ def pack_particles(positions, quats, scales, opacities, colors) -> jnp.ndarray:
     ], axis=-1)
 
 
-def prepare(
+def prepare_packed(
     positions, quats, scales, opacities, features, cam, pose,
     resolution, isect_capacity, shutter=ShutterType.GLOBAL, sh_degree=3,
-    tile_culling=True, low_precision_grads=False,
+    tile_culling=True,
 ):
-    """Projection + binning + packing: everything before compositing.
+    """Projection + binning + particle packing (no slot gather).
 
-    Returns (proj, binning, data_sorted [cap+CHUNK, 16], tile_grid)."""
+    Returns (proj, binning, packed [N, 16], tile_grid)."""
     wp, hp = pad_to_tiles(resolution)
     tile_grid = (wp // C.TILE_X, hp // C.TILE_Y)
 
@@ -122,6 +122,20 @@ def prepare(
 
     assert isect_capacity % tile_raster.CHUNK == 0, (
         f"isect_capacity must be a multiple of {tile_raster.CHUNK}")
+    return proj, binning, packed, tile_grid
+
+
+def prepare(
+    positions, quats, scales, opacities, features, cam, pose,
+    resolution, isect_capacity, shutter=ShutterType.GLOBAL, sh_degree=3,
+    tile_culling=True, low_precision_grads=False,
+):
+    """Projection + binning + packing: everything before compositing.
+
+    Returns (proj, binning, data_sorted [cap, 16], tile_grid)."""
+    proj, binning, packed, tile_grid = prepare_packed(
+        positions, quats, scales, opacities, features, cam, pose, resolution,
+        isect_capacity, shutter, sh_degree, tile_culling)
     from threedgrut_tpu.ops.sorted_gather import sorted_gather
     data_sorted = sorted_gather(
         packed, binning.sorted_particle_idx,
@@ -203,6 +217,7 @@ def render(
     low_precision_grads: bool = False,
     hit_visibility: bool = False,
     row_termination: bool = False,
+    walk_capacity: int | None = None,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Render one frame. Returns (outputs, overflow_flag).
 
@@ -226,11 +241,27 @@ def render(
     no VJP — differentiating through the outputs raises ValueError at trace
     time (training derives the same bit from nonzero gradients for free,
     trainer.py). Costs one extra per-slot write + a [cap] 2-op sort.
+    `walk_capacity` (multiple of 256, < isect_capacity) enables the fused
+    walked-window-compacted backward (ops/fused_raster.py): the dominant
+    cotangent unsort runs over this many slots instead of the full capacity
+    whenever the kernel's early exit walked no more than that — gradients
+    are exact either way (dense fallback above the bound). Forward-only
+    callers gain nothing from it.
     """
     w, h = resolution
-    proj, binning, data_sorted, tile_grid = prepare(
-        positions, quats, scales, opacities, features, cam, pose, resolution,
-        isect_capacity, shutter, sh_degree, tile_culling, low_precision_grads)
+    use_fused = (walk_capacity is not None
+                 and 0 < walk_capacity < isect_capacity
+                 and not hit_visibility)
+    if use_fused:
+        proj, binning, packed, tile_grid = prepare_packed(
+            positions, quats, scales, opacities, features, cam, pose,
+            resolution, isect_capacity, shutter, sh_degree, tile_culling)
+        data_sorted = None
+    else:
+        proj, binning, data_sorted, tile_grid = prepare(
+            positions, quats, scales, opacities, features, cam, pose,
+            resolution, isect_capacity, shutter, sh_degree, tile_culling,
+            low_precision_grads)
     if t_max is not None and t_max.shape != (tile_grid[1] * 16,
                                              tile_grid[0] * 16):
         pad_h = tile_grid[1] * 16 - t_max.shape[0]
@@ -262,6 +293,14 @@ def render(
             sorted_passes=sorted_passes, has_t_max=t_max is not None,
             aux_outputs=aux_outputs, emit_flags=True,
             row_termination=row_termination)
+    elif use_fused:
+        from threedgrut_tpu.ops import fused_raster
+        out = fused_raster.composite_particles(
+            packed, binning.sorted_particle_idx, binning.particle_ends,
+            binning.tile_starts, binning.tile_ends, rays, kernel_degree,
+            min_transmittance, C.MIN_KERNEL_RESPONSE, C.MIN_ALPHA,
+            C.MAX_ALPHA, sorted_passes, t_max is not None, aux_gradients,
+            aux_outputs, low_precision_grads, row_termination, walk_capacity)
     else:
         out = tile_raster.tile_composite(
             data_sorted, binning.tile_starts, binning.tile_ends, rays,

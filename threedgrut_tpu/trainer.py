@@ -55,6 +55,11 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
         pos, quats, scales, opac, feats = render_params(p)
         if cfg.render.method == "3dgrt":
             from threedgrut_tpu.render import grt
+            walk_cap = None
+            if train and cfg.render.walk_compact_fraction > 0.0:
+                walk_cap = -(-int(isect_capacity
+                                  * cfg.render.walk_compact_fraction)
+                             // 256) * 256
             out, overflow = grt.render(
                 pos, quats, scales, opac, feats, camera, pose, resolution,
                 sh_degree=sh_degree,
@@ -64,13 +69,23 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 flat_capacity=isect_capacity,
                 T_to_world=T_to_world,
                 density_clamping=cfg.render.particle_kernel_density_clamping,
-                surfel=cfg.render.surfel_primitive)
+                surfel=cfg.render.surfel_primitive,
+                walk_capacity=walk_cap)
         else:
             jit_px = None
             if train and cfg.render.ray_jitter:
                 jkey = jax.random.fold_in(key, 1)
                 jit_px = jax.random.uniform(
                     jkey, (resolution[1], resolution[0], 2))
+            # Walked-window-compacted backward (only meaningful when a
+            # backward will run): bound = fraction of capacity, 256-aligned;
+            # gut.render falls back to the plain path when the bound is not
+            # actually smaller than the capacity.
+            walk_cap = None
+            if train and cfg.render.walk_compact_fraction > 0.0:
+                walk_cap = -(-int(isect_capacity
+                                  * cfg.render.walk_compact_fraction)
+                             // 256) * 256
             out, overflow = gut.render(
                 pos, quats, scales, opac, feats, camera, pose, resolution,
                 isect_capacity, shutter=shutter,
@@ -91,7 +106,8 @@ def _step_fn(params: Gaussians, opt_state, T_to_world, camera, rgb_gt,
                 # Eval reports the kernel's hit-based contributed bit
                 # directly; train derives it from nonzero gradients below
                 # (free) and must keep the differentiable path.
-                hit_visibility=not train)
+                hit_visibility=not train,
+                walk_capacity=walk_cap)
         # Random background only during training (reference background.py:
         # 62-102 gates the per-pixel random color on model.training).
         pred = background.compose(out.rgb, out.opacity,

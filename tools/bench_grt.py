@@ -123,12 +123,20 @@ def main():
               flush=True)
 
     pk = os.environ.get("BENCH_PACKED", "")
+    # BENCH_WALKFRAC: walked-compaction bound as a fraction of flat_cap
+    # (0 = plain backward; see ops/fused_raster.composite_bundles). The
+    # default matches the trainer's walk_compact_fraction; measured A/B at
+    # 100k: 101.7 vs 106.0 ms.
+    walk_frac = float(os.environ.get("BENCH_WALKFRAC", "0.625"))
+    walk_cap = (-(-int(flat_cap * walk_frac) // 256) * 256
+                if flat_cap and walk_frac > 0 else None)
     trace_kw = dict(candidate_capacity=cand, super_capacity=super_cap,
                     flat_capacity=flat_cap,
                     packed_cull=(pk == "1"), packed_l1=(pk == "l1"),
                     flat_cull=(pk == "flat"),
                     super_flat_capacity=(sflat_cap if pk == "flat"
-                                         else None))
+                                         else None),
+                    walk_capacity=walk_cap)
 
     if infer:
         def fwd(pos, opa, prev_rgb):

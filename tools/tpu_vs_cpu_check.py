@@ -81,3 +81,35 @@ for n, a, b in (("d_pos", gpos16, r_tpu[3]), ("d_opa", gopa16, r_tpu[4])):
     print(f"bf16 {n}: max abs diff {diff:.3e} (rel {diff/scale_:.3e})")
     assert diff < 4e-3 * scale_, f"bf16 {n}"
 print("bf16 gradient-reorder leg within documented tolerance: OK")
+
+
+# --- fused walked-compaction leg (render.walk_compact_fraction) -----------
+# The train step's default routes the backward through the fused op
+# (ops/fused_raster.py): walked-window compaction + the by-ids Pallas
+# segment sum on TPU. On CPU the same call takes the XLA fallback path, so
+# this leg cross-checks the by-ids kernel numerics on the real chip.
+# Exact-f32 tolerance: the compacted sum drops only exactly-zero rows.
+def run_fused(device):
+    tile_raster._should_interpret = (lambda: device.platform != "tpu")
+    args = [jax.device_put(jnp.asarray(x), device)
+            for x in (pos, quat, scale, opa, feats)]
+    cam = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), device), CAM)
+    pose = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), device),
+                        IDENTITY_POSE)
+    with jax.default_device(device):
+        out, _ = gut.render(*args, cam, pose, RES, 2048, walk_capacity=1024)
+        def loss(pos, opa):
+            o, _ = gut.render(pos, args[1], args[2], opa, args[4], cam, pose,
+                              RES, 2048, walk_capacity=1024)
+            return jnp.mean(o.rgb) + jnp.mean(o.opacity)
+        g = jax.grad(loss, argnums=(0, 1))(args[0], args[3])
+    return np.asarray(out.rgb), np.asarray(g[0]), np.asarray(g[1])
+
+rgbf, gposf, gopaf = run_fused(tpu)
+assert np.array_equal(rgbf, r_tpu[0]), "fused path must not change forward"
+for n, a, b in (("d_pos", gposf, r_tpu[3]), ("d_opa", gopaf, r_tpu[4])):
+    diff = np.abs(a - b).max()
+    scale_ = np.abs(b).max() + 1e-12
+    print(f"fused {n}: max abs diff {diff:.3e} (rel {diff/scale_:.3e})")
+    assert diff < 5e-4 * scale_ + 1e-5, f"fused {n}"
+print("fused walked-compaction leg matches the plain path: OK")
