@@ -569,3 +569,50 @@ def test_flat_cull_matches_exact():
                                   np.asarray(flat.depth))
     a, b = np.asarray(g1), np.asarray(g0)
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-6 * np.abs(b).max())
+
+
+def test_flat_cull_compact_kernel_matches_sort_path():
+    """The stream-compaction kernel path of bundle_candidates_twolevel_flat
+    (compact_kernel=True; Pallas in interpret mode here) must produce the
+    SAME per-bundle candidate sequences as the segmented-sort path — the
+    flat arrangements differ ((super, member)-major vs member-major), so
+    compare per caller bundle through (win_starts, win_ends, valid)."""
+    from threedgrut_tpu import constants as C
+
+    pos, quat, scale, opa, feats = random_scene(n=96, seed=23)
+    rng = np.random.default_rng(24)
+    os_, ds_ = [], []
+    for b in range(32):
+        o = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (256, 1))
+        d = np.stack([0.03 * (b % 6) + rng.uniform(-0.2, 0.2, 256),
+                      0.03 * (b // 6) + rng.uniform(-0.2, 0.2, 256),
+                      np.ones(256)], -1).astype(np.float32)
+        os_.append(o)
+        ds_.append(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(np.concatenate(os_))
+    d = jnp.asarray(np.concatenate(ds_))
+
+    radius = grt.bounding_radius(scale, opa, C.KERNEL_DEGREE_3DGRT)
+    valid = opa >= C.MIN_ALPHA
+
+    def run(kernel):
+        return grt.bundle_candidates_twolevel_flat(
+            pos, radius, valid, o, d, 256, capacity=96, super_mult=16,
+            super_capacity=64, flat_capacity=8192, compact_kernel=kernel)
+
+    fi0, v0, ws0, we0, ovf0, vis0 = run(False)
+    fi1, v1, ws1, we1, ovf1, vis1 = run(True)
+    assert bool(ovf0) == bool(ovf1)
+    np.testing.assert_array_equal(np.asarray(vis0), np.asarray(vis1))
+    fi0, v0 = np.asarray(fi0), np.asarray(v0)
+    fi1, v1 = np.asarray(fi1), np.asarray(v1)
+    ws0, we0 = np.asarray(ws0), np.asarray(we0)
+    ws1, we1 = np.asarray(ws1), np.asarray(we1)
+    total0 = total1 = 0
+    for b in range(32):
+        s0 = fi0[ws0[b] * 128:we0[b] * 128][v0[ws0[b] * 128:we0[b] * 128]]
+        s1 = fi1[ws1[b] * 128:we1[b] * 128][v1[ws1[b] * 128:we1[b] * 128]]
+        np.testing.assert_array_equal(s1, s0, err_msg=f"bundle {b}")
+        total0 += len(s0)
+        total1 += len(s1)
+    assert total0 == total1 and total0 > 0

@@ -561,6 +561,7 @@ def bundle_candidates_twolevel_flat(
     positions, radius, valid, rays_o, rays_d, bundle_size, capacity,
     super_mult: int = 16, super_capacity: int = 8192,
     super_flat_capacity: int | None = None, flat_capacity: int | None = None,
+    compact_kernel: bool | None = None,
 ):
     """Two-level cull with FLAT-COMPACTED super lists (exact semantics —
     identical candidate sets and order to bundle_candidates_twolevel).
@@ -649,6 +650,74 @@ def bundle_candidates_twolevel_flat(
     cum0 = jnp.concatenate([jnp.zeros((1, m), jnp.int32), cum])
     counts2 = cum0[sup_we] - cum0[sup_ws]                     # [ns, m]
     overflow = overflow | jnp.any(counts2 > capacity)
+
+    iperm = jnp.zeros((nb,), jnp.int32).at[perm].set(
+        jnp.arange(nb, dtype=jnp.int32))
+    if compact_kernel is None:
+        # Default OFF — BUILT AND MEASURED NET-NEGATIVE at both bench
+        # scales (RESULTS.md): the 16-stream Pallas compaction
+        # (ops/pallas/stream_compact.py) replaces the segmented sort's
+        # comparator mass with per-(window, member) one-hot MXU routing,
+        # but that routing is INSTRUCTION-bound (~15 us/window at 1M:
+        # ~16 predicated route+flush op groups per 128-slot window),
+        # measured 930.9 vs 736.4 ms at 1M and 146.6 vs 128.7 at 100k.
+        # The sort stays: lax.sort's comparator network is the best
+        # fine-grained compaction primitive this hardware offers at these
+        # shapes — the same conclusion as the packed-key experiments.
+        compact_kernel = False
+    if compact_kernel:
+        # Pallas 16-stream compaction (ops/pallas/stream_compact.py)
+        # replaces the segmented member-column sort below: each member's
+        # hits left-pack into its CHUNK-aligned flat range in super-list
+        # order, then ONE [capF] (bundle, depth) lax.sort restores exact
+        # member-depth order (stable ties = super-list position, the same
+        # tie order as the sort path). Semantics identical except
+        # per-bundle capacity truncation (flagged overflow): the kernel
+        # keeps the FIRST hits in super order, the sort path the nearest.
+        from threedgrut_tpu.ops.pallas import stream_compact as sc
+        assert n <= (1 << 24), "gid rides an f32 channel"
+        capF = int(flat_capacity)
+        counts_o = jnp.minimum(counts2.reshape(nb), capacity)  # (sp, m)
+        padded_o = -(-counts_o // ch) * ch
+        offs = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(padded_o)[:-1].astype(jnp.int32)])
+        overflow = overflow | (offs[-1] + padded_o[-1] > capF)
+        base_w = (offs // ch).astype(jnp.int32)
+        lim_w = base_w + padded_o // ch
+        mbit = (1 << jnp.arange(m, dtype=jnp.int32))
+        bits = jnp.sum(hit2.astype(jnp.int32) * mbit[None, None, :],
+                       axis=-1)                               # [nws, ch]
+        r_rows = -(-(2 + m) // 8) * 8
+        vals = jnp.concatenate([
+            flat_sup.astype(jnp.float32).reshape(nws, 1, ch),
+            bits.astype(jnp.float32)[:, None, :],
+            t_ax.transpose(0, 2, 1),                          # [nws, m, ch]
+            jnp.zeros((nws, r_rows - 2 - m, ch), jnp.float32),
+        ], axis=1)
+        # The cull is a discrete structure decision — no gradient flows
+        # through candidate selection (the binning does the same,
+        # ops/tiles.py), and pallas_call has no JVP rule to trace through.
+        out2 = sc.compact_streams(
+            jax.lax.stop_gradient(vals), sup_ws, sup_we, base_w, capF, m,
+            lim_w=lim_w)
+        nwF = capF // ch
+        offw = jnp.clip(base_w, 0, nwF - 1)
+        win_o = jnp.maximum(jax.lax.cummax(
+            jnp.zeros((nwF,), jnp.int32).at[offw].max(
+                jnp.arange(nb, dtype=jnp.int32) + 1)) - 1, 0)
+        ve_of = jax.lax.cummax(
+            jnp.zeros((nwF,), jnp.int32).at[offw].max(
+                offs + counts_o + 1)) - 1
+        o_key = jnp.broadcast_to(win_o[:, None], (nwF, ch)).reshape(capF)
+        _, _, gid_sorted = jax.lax.sort((o_key, out2[1], out2[0]),
+                                        num_keys=2)
+        flat_idx = gid_sorted.astype(jnp.int32)
+        valid_f = (jnp.arange(capF, dtype=jnp.int32)
+                   < jnp.broadcast_to(ve_of[:, None],
+                                      (nwF, ch)).reshape(capF))
+        return (flat_idx, valid_f, base_w[iperm], lim_w[iperm], overflow,
+                visibility)
 
     # Segmented member-column depth sort: keys (super of slot, per-member
     # hit depth or +inf), payload particle id. Stable ties follow the
