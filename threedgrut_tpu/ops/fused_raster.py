@@ -125,6 +125,12 @@ def _bwd(degree, min_transmittance, min_response, min_alpha, max_alpha,
     cap = data_sorted.shape[0]
     ch = tile_raster.CHUNK
     assert walk_capacity % 256 == 0 and 0 < walk_capacity < cap, walk_capacity
+    # Row-7 walked counts and the by-ids filler id ride f32 channels — exact
+    # integers only below 2^24 (same ceiling the grt compact_kernel asserts).
+    assert cap <= (1 << 24) and n <= (1 << 24), (cap, n)
+    # CHUNK is env-overridable (TILE_RASTER_CHUNK); the // ch floor below must
+    # not silently shrink the configured compaction bound.
+    assert walk_capacity % ch == 0, (walk_capacity, ch)
     nw = cap // ch
     wc = walk_capacity // ch
 
@@ -238,6 +244,8 @@ def _bbwd(degree, sh_degree, min_transmittance, min_response, min_alpha,
     capF = d.shape[0]
     ch = bundle_trace.CHUNK
     assert walk_capacity % 256 == 0 and 0 < walk_capacity < capF
+    assert capF <= (1 << 24) and n <= (1 << 24), (capF, n)
+    assert walk_capacity % ch == 0, (walk_capacity, ch)
     nw = capF // ch
     wc = walk_capacity // ch
 

@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from threedgrut_tpu.ops.pallas.tile_raster import CHUNK, _should_interpret
+from threedgrut_tpu.ops.pallas import tile_raster
+from threedgrut_tpu.ops.pallas.tile_raster import CHUNK
 
 _N_DBUF = 3     # input prefetch ring
 _N_WBUF = 8     # output write ring
@@ -261,5 +262,5 @@ def compact_streams(vals: jnp.ndarray, seg_ws: jnp.ndarray,
         # Donor index counts after the 4 scalar-prefetch operands:
         # vals, donor -> 5; aliased into the output.
         input_output_aliases={5: 0},
-        interpret=_should_interpret(),
+        interpret=tile_raster._should_interpret(),
     )(seg_ws, seg_we, base_w, lim_w, vals, donor)
