@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from threedgrut_tpu.ops.pallas import tile_raster
 from threedgrut_tpu.render import grt
 from tests.test_gut_reference import random_scene
 
@@ -610,9 +611,91 @@ def test_flat_cull_compact_kernel_matches_sort_path():
     ws1, we1 = np.asarray(ws1), np.asarray(we1)
     total0 = total1 = 0
     for b in range(32):
-        s0 = fi0[ws0[b] * 128:we0[b] * 128][v0[ws0[b] * 128:we0[b] * 128]]
-        s1 = fi1[ws1[b] * 128:we1[b] * 128][v1[ws1[b] * 128:we1[b] * 128]]
+        ch = tile_raster.CHUNK
+        s0 = fi0[ws0[b] * ch:we0[b] * ch][v0[ws0[b] * ch:we0[b] * ch]]
+        s1 = fi1[ws1[b] * ch:we1[b] * ch][v1[ws1[b] * ch:we1[b] * ch]]
         np.testing.assert_array_equal(s1, s0, err_msg=f"bundle {b}")
         total0 += len(s0)
         total1 += len(s1)
     assert total0 == total1 and total0 > 0
+
+
+def test_visibility_is_cone_level_not_hit_level():
+    """TraceResult.visibility documents the CONE-LEVEL pre-cull semantics
+    (grt.trace docstring; reference referenceOptix.cu:158-161 writes the
+    bit from anyhit, i.e. BVH intersection, not accepted hits): a particle
+    fully occluded behind an opaque wall is visibility=True yet receives
+    zero gradient — the hit-based mask the trainer feeds SelectiveAdam
+    must come from nonzero grads, not from this bit."""
+    rng = np.random.default_rng(7)
+    # A 4-layer opaque wall at z=2.0..2.3 covering the bundle footprint,
+    # then one particle hidden behind it at z=5.
+    n_wall = 47
+    pos = np.concatenate([
+        np.stack([rng.uniform(-0.8, 0.8, n_wall),
+                  rng.uniform(-0.8, 0.8, n_wall),
+                  2.0 + 0.1 * (np.arange(n_wall) % 4)], -1),
+        np.array([[0.0, 0.0, 5.0]]),
+    ]).astype(np.float32)
+    quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (48, 1))
+    scale = np.full((48, 3), 0.6, np.float32)
+    opa = np.full((48,), 0.995, np.float32)
+    feats = rng.uniform(0.2, 0.8, (48, 16, 3)).astype(np.float32)
+    pos, quat, scale, opa, feats = map(jnp.asarray,
+                                       (pos, quat, scale, opa, feats))
+    o, d = coherent_rays(seed=9)
+
+    def loss(opa_):
+        r = grt.trace(pos, quat, scale, opa_, feats, o, d,
+                      candidate_capacity=64, order="bundle")
+        return jnp.sum(r.rgb), r
+
+    (val, res), g = jax.value_and_grad(loss, has_aux=True)(opa)
+    vis = np.asarray(res.visibility)
+    g = np.asarray(g)
+    # The hidden particle's bounding sphere intersects the cones -> loose
+    # bit set; the kernel terminates at min_transmittance long before z=5
+    # -> exactly zero gradient.
+    assert bool(vis[-1]), "cone-level visibility must include the occluded particle"
+    assert g[-1] == 0.0, f"occluded particle must get zero grad, got {g[-1]}"
+    # Sanity: the wall itself is both visible and gradient-carrying.
+    assert np.any(g[:-1] != 0.0)
+
+
+def test_flat_cull_expand_sort_matches_sort_path():
+    """The r5 pair-expansion path (_flat_pairs_expand_sort) must produce
+    BIT-IDENTICAL flat products to the segmented member-column sort at
+    non-overflow shapes: same candidate sets, same per-bundle depth order,
+    same stable tie order (super-list position)."""
+    pos, quat, scale, opa, feats = random_scene(n=256, seed=31)
+    rng = np.random.default_rng(32)
+    os_, ds_ = [], []
+    for b in range(32):
+        o = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (256, 1))
+        d = np.stack([0.03 * (b % 6) + rng.uniform(-0.2, 0.2, 256),
+                      0.03 * (b // 6) + rng.uniform(-0.2, 0.2, 256),
+                      np.ones(256)], -1).astype(np.float32)
+        os_.append(o)
+        ds_.append(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    o = jnp.asarray(np.concatenate(os_))
+    d = jnp.asarray(np.concatenate(ds_))
+
+    from threedgrut_tpu import constants as C
+    radius = grt.bounding_radius(scale, opa, C.KERNEL_DEGREE_3DGRT)
+    valid = opa >= C.MIN_ALPHA
+
+    def run(expand):
+        return grt.bundle_candidates_twolevel_flat(
+            pos, radius, valid, o, d, 256, capacity=256, super_mult=16,
+            super_capacity=256, flat_capacity=16384, expand_sort=expand)
+
+    fi0, v0, ws0, we0, ovf0, vis0 = run(False)
+    fi1, v1, ws1, we1, ovf1, vis1 = run(True)
+    assert not bool(ovf0) and not bool(ovf1)
+    np.testing.assert_array_equal(np.asarray(vis1), np.asarray(vis0))
+    np.testing.assert_array_equal(np.asarray(ws1), np.asarray(ws0))
+    np.testing.assert_array_equal(np.asarray(we1), np.asarray(we0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    # Candidate ids must agree wherever valid (invalid rows are padding).
+    v = np.asarray(v0)
+    np.testing.assert_array_equal(np.asarray(fi1)[v], np.asarray(fi0)[v])

@@ -557,11 +557,155 @@ def _flatten_from_windows(src_win, src_base_w, counts, flat_capacity):
             overflow, win_bundle)
 
 
+def _blocked_cummax_f32(x, block: int = 256):
+    """Two-level cummax of a [M] f32 vector (M % block == 0): intra-block
+    scan + tiny carry scan — the cummax twin of sorted_gather._blocked_cumsum
+    (a flat lax.cummax at M ~ 3M expands to ~22 full-array passes)."""
+    m = x.shape[0]
+    if m % block:
+        return jax.lax.cummax(x)
+    xb = x.reshape(m // block, block)
+    intra = jax.lax.cummax(xb, axis=1)
+    carry = jax.lax.cummax(intra[:, -1], axis=0)
+    carry = jnp.concatenate(
+        [jnp.full_like(carry[:1], -jnp.inf), carry[:-1]], axis=0)
+    return jnp.maximum(intra, carry[:, None]).reshape(m)
+
+
+def _flat_pairs_expand_sort(flat_sup, hit2, t_ax, win_sup, sup_ws, cum0,
+                            counts2, capacity, flat_capacity, nb, ns, m,
+                            iperm, overflow, visibility):
+    """Hit-pair expansion + ONE stable (bundle, depth) sort (r5).
+
+    Replaces the [m, capS] segmented member-column sort of
+    bundle_candidates_twolevel_flat (381 ms of the 736 ms 1M trace,
+    RESULTS.md) by sorting only the TRUE hits: per super slot, the 16
+    member-hit bits expand into (slot, member) pairs via the tile-binning
+    forward-fill idiom (scatter slot index at each slot's first pair +
+    blocked cummax), every per-pair attribute arrives in ONE packed row
+    gather, and one stable 2-key lax.sort on (bundle o = member * ns + s,
+    member-axis depth) lands every pair directly at its CHUNK-aligned flat
+    offset — per-bundle alignment fillers (dep = +inf) ride along in the
+    sort so segment starts equal the offs[] cumsum by construction.
+
+    Output contract is bundle_candidates_twolevel_flat's; the reference
+    pays this stage inside the RT cores' traversal order
+    (optixTracer.cpp:760-851 BVH + anyhit insertion sort)."""
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    from threedgrut_tpu.ops.pallas import expand as ex
+    from threedgrut_tpu.ops.sorted_gather import _blocked_cumsum
+
+    ch = bundle_trace.CHUNK
+    nws = hit2.shape[0]
+    capS = nws * ch
+    capF = int(flat_capacity)
+    nwF = capF // ch
+    assert capF % ch == 0
+    # gid / offsets / ranks ride f32 channels — exact below 2^24 (same
+    # ceiling as the tile path's fused backward and compact kernel).
+    assert capF <= (1 << 24) and capS <= (1 << 24), (capF, capS)
+
+    # Chunk-aligned flat layout in (member, super) bundle order.
+    counts_o = jnp.minimum(counts2.T.reshape(nb), capacity)
+    padded_o = -(-counts_o // ch) * ch
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(padded_o)[:-1].astype(jnp.int32)])
+    total_o = offs[-1] + padded_o[-1]
+    overflow = overflow | (total_o > capF)
+
+    # Per-slot member mask, count, and per-(super, member) position rank.
+    mbit = (1 << jnp.arange(m, dtype=jnp.int32))
+    bits = jnp.sum(hit2.astype(jnp.int32) * mbit[None, None, :],
+                   axis=-1).reshape(capS)
+    cnt = jax.lax.population_count(bits).astype(jnp.float32)
+    h2f = hit2.reshape(capS, m).astype(jnp.float32)
+    ecum = _blocked_cumsum(h2f) - h2f                  # exclusive, [capS, m]
+    # Hits before super s for member m: cum0 is the WINDOW-level cumsum
+    # (cum0[w] = hits in windows < w), super segments are window-aligned and
+    # contiguous, so the base is cum0 at the super's first window.
+    base_sup = cum0[sup_ws].astype(jnp.float32)        # [ns, m]
+    base = jnp.broadcast_to(base_sup[win_sup][:, None, :],
+                            (nws, ch, m)).reshape(capS, m)
+    rank2 = ecum - base                                # position rank in (s,m)
+
+    # Expansion offsets (f32-exact) + the one packed attr row per slot.
+    ends_pair = _blocked_cumsum(cnt[:, None])[:, 0]
+    starts_pair = ends_pair - cnt
+    overflow = overflow | (ends_pair[-1] > capF)
+    sup_slot = jnp.broadcast_to(win_sup[:, None],
+                                (nws, ch)).reshape(capS).astype(jnp.float32)
+    attr = jnp.concatenate([
+        flat_sup.astype(jnp.float32)[:, None],         # 0 gid
+        sup_slot[:, None],                             # 1 super
+        bits.astype(jnp.float32)[:, None],             # 2 member mask
+        cnt[:, None],                                  # 3
+        starts_pair[:, None],                          # 4
+        t_ax.reshape(capS, m),                         # 5:5+m   member depth
+        rank2,                                         # 5+m:5+2m
+    ], axis=-1)                                        # [capS, 5+2m]
+
+    # Owning slot per pair: scatter (slot+1) at each live slot's first pair,
+    # forward-fill with the blocked cummax (starts are strictly increasing
+    # over live slots, so scatters never collide).
+    slot_f = jnp.arange(capS, dtype=jnp.float32) + 1.0
+    pos = jnp.where(cnt > 0, starts_pair.astype(jnp.int32), capF)
+    fill = jnp.zeros((capF,), jnp.float32).at[pos].set(slot_f, mode="drop")
+    owner = _blocked_cummax_f32(fill) - 1.0            # [capF]; -1 = no slot
+    own_c = jnp.clip(owner, 0, capS - 1).astype(jnp.int32)
+
+    A = attr[own_c]                                    # [capF, 5+2m] gather
+    e_idx = jnp.arange(capF, dtype=jnp.float32)
+    local = e_idx - A[:, 4]
+    pvalid = (owner >= 0) & (local < A[:, 3])
+    loc_i = jnp.clip(local, 0, m - 1).astype(jnp.int32)
+    member = ex.select_nth_set_bit(A[:, 2].astype(jnp.int32),
+                                   jnp.zeros_like(loc_i),
+                                   jnp.zeros_like(loc_i), loc_i)
+    onehot = (member[:, None]
+              == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    dep = jnp.sum(A[:, 5:5 + m] * onehot, axis=-1)
+    rk2 = jnp.sum(A[:, 5 + m:5 + 2 * m] * onehot, axis=-1)
+    o_key = member * ns + A[:, 1].astype(jnp.int32)
+    gid = A[:, 0].astype(jnp.int32)
+    # Per-bundle truncation (flagged overflow upstream): pairs past
+    # `capacity` in super-list position drop to the tail so downstream
+    # bundle offsets stay aligned.
+    dead = (~pvalid) | (rk2 >= capacity)
+    o_key = jnp.where(dead, nb, o_key)
+
+    # Alignment fillers: bundle o contributes padded_o - counts_o rows with
+    # dep = +inf (sort after every real pair of the same bundle).
+    f_o = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None],
+                           (nb, ch))
+    f_live = (jax.lax.broadcasted_iota(jnp.int32, (nb, ch), 1)
+              < (padded_o - counts_o)[:, None])
+    f_okey = jnp.where(f_live, f_o, nb).reshape(nb * ch)
+    big = jnp.float32(3.4e38)
+    k1 = jnp.concatenate([o_key, f_okey])
+    k2 = jnp.concatenate([dep, jnp.full((nb * ch,), big)])
+    pv = jnp.concatenate([gid, jnp.zeros((nb * ch,), jnp.int32)])
+    _, _, gid_sorted = jax.lax.sort((k1, k2, pv), num_keys=2)
+    flat_idx = gid_sorted[:capF]
+
+    # Valid mask / window ranges (same fills as the sort path).
+    offw = jnp.clip(offs // ch, 0, nwF - 1)
+    ve_of = jax.lax.cummax(
+        jnp.zeros((nwF,), jnp.int32).at[offw].max(offs + counts_o + 1)) - 1
+    slot_in = jax.lax.broadcasted_iota(jnp.int32, (nwF, ch), 1)
+    valid_f = ((jnp.arange(nwF, dtype=jnp.int32)[:, None] * ch + slot_in)
+               < ve_of[:, None]).reshape(capF)
+    ws_o = jnp.minimum(offs // ch, nwF).astype(jnp.int32)
+    we_o = jnp.minimum((offs + padded_o) // ch, nwF).astype(jnp.int32)
+    o_of = (iperm % m) * ns + iperm // m
+    return (flat_idx, valid_f, ws_o[o_of], we_o[o_of], overflow, visibility)
+
+
 def bundle_candidates_twolevel_flat(
     positions, radius, valid, rays_o, rays_d, bundle_size, capacity,
     super_mult: int = 16, super_capacity: int = 8192,
     super_flat_capacity: int | None = None, flat_capacity: int | None = None,
-    compact_kernel: bool | None = None,
+    compact_kernel: bool | None = None, expand_sort: bool = True,
 ):
     """Two-level cull with FLAT-COMPACTED super lists (exact semantics —
     identical candidate sets and order to bundle_candidates_twolevel).
@@ -581,6 +725,18 @@ def bundle_candidates_twolevel_flat(
       * the final flat candidate layout is built directly from the sorted
         columns (bundle segments are CHUNK-aligned source ranges), skipping
         the dense [nb, keep] intermediate entirely.
+
+    `expand_sort=True` (default, r5) replaces that [16, capS] member-column
+    sort — whose slots are ~95% +inf filler at 1M (the true hit mass is
+    ~0.74 hits per super slot across 16 members) — with a PAIR EXPANSION
+    (per-slot popcount counts -> scatter/cummax forward fill -> ONE packed
+    row gather -> select-nth-set-bit member decode) followed by ONE stable
+    (bundle, member-depth) lax.sort over just the true pairs (+ per-bundle
+    alignment fillers). Exact: identical candidate sets, per-bundle depth
+    order, and tie order (stable ties = super-list position). Only under
+    flagged per-bundle overflow does the kept subset differ (expansion
+    truncates by super-list position, the member-column sort by member
+    depth — both keep `capacity` near-front candidates and flag).
 
     Returns kernel-ready flat products + bookkeeping:
     (flat_idx [capF], valid [capF], win_starts [nb], win_ends [nb],
@@ -719,6 +875,11 @@ def bundle_candidates_twolevel_flat(
         return (flat_idx, valid_f, base_w[iperm], lim_w[iperm], overflow,
                 visibility)
 
+    if expand_sort:
+        return _flat_pairs_expand_sort(
+            flat_sup, hit2, t_ax, win_sup, sup_ws, cum0, counts2, capacity,
+            flat_capacity, nb, ns, m, iperm, overflow, visibility)
+
     # Segmented member-column depth sort: keys (super of slot, per-member
     # hit depth or +inf), payload particle id. Stable ties follow the
     # super-list position — the same tie order as the dense path's sort.
@@ -828,7 +989,21 @@ def trace(
     sorts to single-operand packed keys (quantized depth | position) —
     ~2x faster culling at large N; candidate SETS are identical, candidate
     ORDER quantizes depth to 11/13 bits (near-tie displacements only; see
-    bundle_candidates_twolevel_packed and the RESULTS.md accuracy A/B)."""
+    bundle_candidates_twolevel_packed and the RESULTS.md accuracy A/B).
+
+    Visibility semantics: `TraceResult.visibility` is the CONE-LEVEL
+    pre-cull bit — True iff the particle's bounding sphere intersected at
+    least one ray-bundle cone (level-1 super cone on the two-level paths),
+    i.e. it entered some candidate list. It is a strict SUPERSET of
+    hit-based visibility: a particle the kernel never accepted (response
+    below threshold, occluded past min_transmittance, or beyond t_max)
+    still carries visibility=True. This mirrors the reference's
+    `particleVisibility` write which fires from the anyhit program on BVH
+    intersection, not on accepted hits (referenceOptix.cu:158-161). The
+    trainer does NOT use this bit directly for SelectiveAdam: it derives
+    the hit-based mask from nonzero parameter gradients (see
+    trainer-side visibility; gut.render(hit_visibility=True) documents the
+    same distinction for the raster path)."""
     r_total = rays_o.shape[0]
     assert r_total % bundle_size == 0
     nb = r_total // bundle_size
