@@ -111,6 +111,67 @@ def main():
     # BENCH_INFER=1: render-only throughput (the reference's eval FPS
     # column, README.md:250-306 — no loss/backward/Adam). Same scene and
     # capacity as the train-step metric so the two are comparable.
+    if _os.environ.get("BENCH_INFER") == "compact":
+        # Temporal hit-visibility compaction (render/infer.py): ONE refresh
+        # (exact render + contributed-weight census + compaction at
+        # threshold 1/255), then steady-state frames render only the
+        # visible set at a proportionally smaller capacity. The reference
+        # analogously amortizes BVH work across frames (tracer.py:190-208);
+        # parity vs the exact frame is printed alongside (orbit-motion
+        # parity is tools/bench_infer_orbit.py's job).
+        from threedgrut_tpu.cameras import pose_from_matrix
+        from threedgrut_tpu.render import gut, infer
+
+        vis_t = float(_os.environ.get("BENCH_VIS_T", str(1.0 / 255.0)))
+        n_c = min(int(_os.environ.get("BENCH_NC", "143360")), n)
+        cap_c = min(int(_os.environ.get("BENCH_CAPC", "585472")), cap)
+
+        @jax.jit
+        def do_refresh(g, T_):
+            out, ovf, scene = infer.refresh(
+                g.get_positions(), g.get_rotation(), g.get_scale(),
+                g.get_density(), g.get_features(), cam, pose_from_matrix(T_),
+                res, cap, n_c, sh_degree=3, T_to_world=T_,
+                visibility_threshold=vis_t)
+            return out.rgb, ovf, scene
+
+        @jax.jit
+        def compact_frame(scene, T_, prev_rgb):
+            scene = scene._replace(
+                opacities=scene.opacities + 0.0 * prev_rgb.reshape(-1)[0])
+            out, ovf = infer.render_compact(scene, cam, pose_from_matrix(T_),
+                                            res, cap_c, sh_degree=3,
+                                            T_to_world=T_)
+            return out.rgb, ovf
+
+        rgb_exact, ovf, scene = do_refresh(params, T)
+        np.asarray(rgb_exact[:1, :1])
+        assert not bool(scene.overflow), int(scene.count)
+        rgb, covf = compact_frame(scene, T, rgb_exact)
+        np.asarray(rgb[:1, :1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rgb, covf = compact_frame(scene, T, rgb)
+        np.asarray(rgb[:1, :1])
+        dt = time.perf_counter() - t0
+        mse = float(jnp.mean((jnp.clip(rgb, 0, 1)
+                              - jnp.clip(rgb_exact, 0, 1)) ** 2))
+        print(json.dumps({
+            "metric": "rays_per_s_infer_compact_1M" if on_tpu
+                      else "rays_per_s_infer_compact_cpu_smoke",
+            "value": round(res[0] * res[1] * iters / dt, 1),
+            "unit": "rays/s/chip",
+            "fps": round(iters / dt, 2),
+            "frame_ms": round(1000.0 * dt / iters, 2),
+            "psnr_vs_exact": round(-10.0 * np.log10(max(mse, 1e-12)), 2),
+            "visible": int(scene.count), "n_compact": n_c,
+            "cap_compact": cap_c, "vis_threshold": vis_t,
+            "isect_overflow": bool(ovf) or bool(covf),
+            "backend": jax.default_backend(), "n_gaussians": n,
+            "resolution": list(res), "iters": iters,
+        }))
+        return
+
     if _os.environ.get("BENCH_INFER"):
         from threedgrut_tpu.cameras import pose_from_matrix
         from threedgrut_tpu.render import gut

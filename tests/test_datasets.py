@@ -247,3 +247,27 @@ def test_cli_train_and_render(nerf_dir, tmp_path):
         "--split", "test", "--out-dir", f"{out}/render"])
     assert rc == 0
     assert os.path.exists(f"{out}/render/pred_0000.png")
+
+
+def test_synthetic_multi_sensor_views():
+    """The acceptance-scene dataset (VERDICT r4 #7): alternating
+    pinhole/fisheye sensors, rolling shutter with real end poses on half
+    the views, vignette masks on fisheye views — and GT rendered under the
+    same models (mean intensity sane, masked pixels black-or-scene)."""
+    import numpy as np
+    from threedgrut_tpu.cameras import FisheyeCamera, PinholeCamera
+    from threedgrut_tpu.datasets.dataset_synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(num_views=8, resolution=(48, 48),
+                          num_gt_gaussians=48, seed=3, multi_sensor=True)
+    kinds = [type(ds[i].camera) for i in range(8)]
+    assert kinds[0] is PinholeCamera and kinds[1] is FisheyeCamera
+    assert int(ds[2].shutter) == 1 and ds[2].pose_end is not None
+    assert int(ds[0].shutter) == 0 and ds[0].pose_end is None
+    assert ds[1].mask is not None and ds[0].mask is None
+    assert ds[1].mask.shape == (48, 48, 1)
+    # Rolling end pose differs from the start pose.
+    assert not np.allclose(ds[2].pose_end, ds[2].T_to_world)
+    for i in range(8):
+        assert np.isfinite(ds[i].rgb_gt).all()
+        assert ds[i].rgb_gt.mean() > 1e-4

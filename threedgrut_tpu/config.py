@@ -155,6 +155,12 @@ class DatasetConfig:
     # COLMAP rigs, as "1:global,2:rolling_top_to_bottom" (dotted-override
     # friendly) or a {camera_id: name} dict programmatically.
     shutter_type: str = "global"
+    # dataset.type=synthetic knobs (procedural scenes; no files needed).
+    synthetic_views: int = 12
+    synthetic_resolution: int = 64        # square W=H
+    synthetic_gt: int = 96                # GT Gaussians
+    synthetic_multi_sensor: bool = False  # pinhole+fisheye rig, rolling
+                                          # shutter, vignette masks
 
 
 @dataclasses.dataclass

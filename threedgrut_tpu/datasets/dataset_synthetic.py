@@ -59,9 +59,19 @@ def random_gt_scene(n: int, seed: int = 0, extent: float = 1.0):
 
 
 class SyntheticDataset:
+    """`multi_sensor=True` builds the BASELINE config-4-class acceptance
+    scene (VERDICT r4 #7): a rig of alternating pinhole / fisheye sensors,
+    rolling shutter (top-to-bottom, with a real end pose advanced along the
+    orbit) on half the views, and circular vignette masks on the fisheye
+    views — every long-tail camera feature through one procedural dataset.
+    GT images are rendered by the oracle under the SAME camera model,
+    shutter pose pair, and mask the trainer will see."""
+
     def __init__(self, num_views: int = 12, resolution: Tuple[int, int] = (64, 64),
                  num_gt_gaussians: int = 96, seed: int = 0,
-                 sh_degree: int = 3):
+                 sh_degree: int = 3, multi_sensor: bool = False):
+        from threedgrut_tpu.cameras import (FisheyeCamera, SensorPose,
+                                            ShutterType)
         self.resolution = resolution
         self.scene = random_gt_scene(num_gt_gaussians, seed)
         w, h = resolution
@@ -73,22 +83,73 @@ class SyntheticDataset:
             tangential=np.zeros(2, np.float32),
             thin_prism=np.zeros(4, np.float32),
         )
+        fisheye = FisheyeCamera(
+            focal=np.array([0.55 * w, 0.55 * w], np.float32),
+            principal=np.array([w / 2.0, h / 2.0], np.float32),
+            radial=np.array([0.03, 0.005, 0.0, 0.0], np.float32),
+            max_angle=np.float32(1.2))
         self._poses = orbit_poses(num_views)
+        # Rolling-shutter end poses: the camera keeps moving along the
+        # orbit during the exposure (~15% of the inter-view step).
+        poses_end = orbit_poses(num_views, radius=4.0, height=1.5)
+        ang = 2.0 * np.pi * 0.15 / num_views
+        rot = np.array([[np.cos(ang), -np.sin(ang), 0.0],
+                        [np.sin(ang), np.cos(ang), 0.0],
+                        [0.0, 0.0, 1.0]], np.float32)
+        for i, T in enumerate(self._poses):
+            Te = T.copy()
+            Te[:3, 3] = rot @ T[:3, 3]
+            Te[:3, :3] = rot @ T[:3, :3]
+            poses_end[i] = Te
+
         pos, quats, scales, opac, feats = [jnp.asarray(x) for x in self.scene]
         import jax
-        # One jitted render reused across views (everything passed as
-        # arguments — eager/const-folded execution is unusably slow through
-        # remote-TPU tunnels).
-        render_fn = jax.jit(lambda T, *scene: gut_reference.render(
-            *scene, self.camera, pose_from_matrix(T), resolution,
-            sh_degree=sh_degree).rgb)
+        # One jitted render per (camera-kind, shutter) pair, reused across
+        # views (everything passed as arguments — eager/const-folded
+        # execution is unusably slow through remote-TPU tunnels).
+        render_fns = {}
+
+        def gt_render(cam, shutter, T, T_end):
+            k = (type(cam).__name__, int(shutter))
+            if k not in render_fns:
+                def fn(T, T_end, cam, *scene, shutter=shutter):
+                    p0 = pose_from_matrix(T)
+                    p1 = pose_from_matrix(T_end)
+                    pose = SensorPose(q_start=p0.q_start, t_start=p0.t_start,
+                                      q_end=p1.q_start, t_end=p1.t_start)
+                    return gut_reference.render(
+                        *scene, cam, pose, resolution,
+                        shutter=ShutterType(shutter),
+                        sh_degree=sh_degree).rgb
+                render_fns[k] = jax.jit(fn)
+            return render_fns[k](jnp.asarray(T), jnp.asarray(T_end), cam,
+                                 pos, quats, scales, opac, feats)
+
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        vignette = ((xx - w / 2.0) ** 2 + (yy - h / 2.0) ** 2
+                    <= (0.62 * min(w, h)) ** 2).astype(np.float32)[..., None]
+
         self._views = []
-        for T in self._poses:
-            rgb = np.clip(np.asarray(render_fn(
-                jnp.asarray(T), pos, quats, scales, opac, feats)), 0.0, 1.0)
-            self._views.append(View(T_to_world=T, camera=self.camera,
-                                    resolution=resolution,
-                                    rgb_gt=rgb.astype(np.float32)))
+        for i, T in enumerate(self._poses):
+            if multi_sensor:
+                cam = fisheye if i % 2 == 1 else self.camera
+                shutter = (ShutterType.ROLLING_TOP_TO_BOTTOM
+                           if i % 4 >= 2 else ShutterType.GLOBAL)
+                pose_end = (poses_end[i]
+                            if shutter != ShutterType.GLOBAL else None)
+                mask = vignette if i % 2 == 1 else None
+            else:
+                cam, shutter, pose_end, mask = (self.camera,
+                                                ShutterType.GLOBAL, None,
+                                                None)
+            cam_np = jax.tree.map(jnp.asarray, cam)
+            rgb = np.clip(np.asarray(gt_render(
+                cam_np, shutter, T,
+                pose_end if pose_end is not None else T)), 0.0, 1.0)
+            self._views.append(View(
+                T_to_world=T, camera=cam, resolution=resolution,
+                rgb_gt=rgb.astype(np.float32), mask=mask,
+                shutter=shutter, pose_end=pose_end))
         self._extent = camera_bbox_extent(
             np.stack([T[:3, 3] for T in self._poses]))
 

@@ -268,36 +268,121 @@ def _row_mask(w, start, end):
 # network is an involution per pass given its mask).
 
 
+def _adaptive_sort() -> int:
+    """Convergence-gated odd-even passes (r5, VERDICT #5): windows that
+    need fewer than the configured pass budget skip the rest under scalar
+    lax.conds, checked every `block` passes (two consecutive quiet passes
+    == fully sorted, so skipping is EXACT — identical masks and output).
+
+    TILE_RASTER_ADAPTIVE_SORT sets the check block size; 0 (DEFAULT)
+    disables — the unconditional static network. MEASURED NET-NEGATIVE at
+    both bench scenes (RESULTS.md r5): 1M sorted bench 402.7 ms per-pass
+    gate / 351.7 block-4 / 331.7 static; 3DGRT 100k (sorted-16 kernel)
+    133.2 / 125.7 / 119.7. One straggler ray per 256-lane window keeps the
+    network busy, so windows essentially never go quiet within the pass
+    budget on converged scenes — the same verdict as every per-pixel
+    termination variant (PARITY.md). Kept as an opt-in for genuinely
+    near-sorted workloads."""
+    import os
+    return int(os.environ.get("TILE_RASTER_ADAPTIVE_SORT", "0"))
+
+
 def _oddeven_sort(key, vals, passes):
-    """Return (vals sorted by key per lane, swap-mask bits [CHUNK, PIX])."""
+    """Return (vals sorted by key per lane, (swap-mask bits [CHUNK, PIX],
+    used pass count [] int32))."""
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     masks = jnp.zeros(key.shape, jnp.int32)
-    for i in range(passes):
-        nxt_k = pltpu.roll(key, CHUNK - 1, axis=0)            # key[j+1] at row j
-        here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
-        swap_i = ((nxt_k < key) & here).astype(jnp.int32)
-        up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here  # row j+1 of swap
-        swap = swap_i == 1
-        prv_k = pltpu.roll(key, 1, axis=0)
-        key = jnp.where(swap, nxt_k, jnp.where(up, prv_k, key))
-        vals = [jnp.where(swap, pltpu.roll(v, CHUNK - 1, axis=0),
+    block = _adaptive_sort()
+    used = jnp.int32(passes)
+    done = jnp.bool_(False)
+
+    def pass_block(op, lo, hi):
+        """Passes [lo, hi) unconditionally; returns swap-activity count of
+        the last two passes (0 == fully sorted)."""
+        key, vals, masks = op
+        quiet2 = jnp.int32(0)
+        for i in range(lo, hi):
+            nxt_k = pltpu.roll(key, CHUNK - 1, axis=0)     # key[j+1] at row j
+            here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
+            swap_i = ((nxt_k < key) & here).astype(jnp.int32)
+            up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here  # row j+1
+            swap = swap_i == 1
+            prv_k = pltpu.roll(key, 1, axis=0)
+            key = jnp.where(swap, nxt_k, jnp.where(up, prv_k, key))
+            vals = tuple(
+                jnp.where(swap, pltpu.roll(v, CHUNK - 1, axis=0),
                           jnp.where(up, pltpu.roll(v, 1, axis=0), v))
-                for v in vals]
-        masks = masks | (swap_i << i)
-    return vals, masks
+                for v in vals)
+            masks = masks | (swap_i << i)
+            if i >= hi - 2:
+                quiet2 = quiet2 + jnp.sum(swap_i)
+        return key, vals, masks, quiet2
+
+    if block <= 0 or passes <= block:
+        key, vals, masks, _ = pass_block((key, tuple(vals), masks), 0,
+                                         passes)
+        return list(vals), (masks, used)
+
+    state = (key, tuple(vals), masks)
+    for lo in range(0, passes, block):
+        hi = min(lo + block, passes)
+
+        def run_block(op, lo=lo, hi=hi):
+            key, vals, masks, act = pass_block(op, lo, hi)
+            return key, vals, masks, act
+
+        def skip_block(op):
+            return op[0], op[1], op[2], jnp.int32(0)
+
+        if lo == 0:
+            *state, act = run_block(state)
+            state = tuple(state)
+        else:
+            *state, act = jax.lax.cond(done, skip_block, run_block, state)
+            state = tuple(state)
+        # Two quiet trailing passes == sorted; later blocks skip (EXACT:
+        # they could only produce zero swaps, so masks match the static
+        # network bit-for-bit). `used` = pass bound for _apply_swaps: the
+        # first block that went quiet caps it (bits past it are zero).
+        newly_done = (act == 0) & ~done
+        used = jnp.where(newly_done, jnp.int32(hi), used)
+        done = done | newly_done
+    key, vals, masks = state
+    return list(vals), (masks, used)
 
 
 def _apply_swaps(masks, x, passes, inverse):
-    """Apply (or invert) the recorded odd-even network to channel x."""
-    order = range(passes - 1, -1, -1) if inverse else range(passes)
+    """Apply (or invert) the recorded odd-even network to channel x.
+    `masks` is _oddeven_sort's (bits, used) pair; passes >= used have no
+    bits set (identity) and skip in blocks under the adaptive gate."""
+    masks, used = masks
+    block = _adaptive_sort()
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    for i in order:
-        here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
-        swap_i = jnp.where(here, (masks >> i) & 1, 0)
-        up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here
-        swap = swap_i == 1
-        x = jnp.where(swap, pltpu.roll(x, CHUNK - 1, axis=0),
-                      jnp.where(up, pltpu.roll(x, 1, axis=0), x))
+
+    def apply_range(x, lo, hi):
+        order = range(hi - 1, lo - 1, -1) if inverse else range(lo, hi)
+        for i in order:
+            here = ((row % 2 == (i % 2)) & (row < CHUNK - 1))
+            swap_i = jnp.where(here, (masks >> i) & 1, 0)
+            up = (pltpu.roll(swap_i, 1, axis=0) == 1) & ~here
+            swap = swap_i == 1
+            x = jnp.where(swap, pltpu.roll(x, CHUNK - 1, axis=0),
+                          jnp.where(up, pltpu.roll(x, 1, axis=0), x))
+        return x
+
+    if block <= 0 or passes <= block:
+        return apply_range(x, 0, passes)
+    blocks = [(lo, min(lo + block, passes))
+              for lo in range(0, passes, block)]
+    if inverse:
+        blocks = blocks[::-1]
+    for lo, hi in blocks:
+        if lo == 0:
+            x = apply_range(x, lo, hi)
+        else:
+            x = jax.lax.cond(jnp.int32(lo) < used,
+                             lambda x, lo=lo, hi=hi: apply_range(x, lo, hi),
+                             lambda x: x, x)
     return x
 
 
@@ -370,13 +455,14 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
                     aux_outputs=True, emit_flags=False,
                     row_termination=False, census=False, lane_compact=False):
     """With `emit_flags`, a second [W, 8, CHUNK] output carries the per-slot
-    contributed bit in row 0 (w_ > 0 for any pixel of the owning tile —
-    reference semantics: the hit-accepted particle flag,
-    referenceOptix.cu:158-161 / gutProjector.cuh:275), written exactly once
-    per window through a ring like the backward kernel's (boundary windows
-    shared by consecutive tiles blend additively: slot ranges are
-    disjoint). The donor output is pre-zeroed, so windows past a tile's
-    early exit correctly stay 0."""
+    max composite weight in row 0 (max over the owning tile's pixels of
+    w_ = alpha * T_before; (flag > 0) is exactly the reference's
+    hit-accepted particle bit, referenceOptix.cu:158-161 /
+    gutProjector.cuh:275), written exactly once per window through a ring
+    like the backward kernel's (boundary windows shared by consecutive
+    tiles blend additively: slot ranges are disjoint, so each slot carries
+    its own tile's max). The donor output is pre-zeroed, so windows past a
+    tile's early exit correctly stay 0."""
     if emit_flags:
         # Refs arrive (ins..., outs..., scratch...): the pre-zeroed flags
         # donor input is aliased into the flags output and only written
@@ -495,8 +581,12 @@ def _forward_kernel(starts_ref, ends_ref, data_hbm, rays_ref,
             out_ref[0, 5, :] = jnp.minimum(jnp.min(t_after, axis=0),
                                            t_carry[0])
             if emit_flags:
-                contrib = jnp.max((w_ > 0.0).astype(jnp.float32), axis=1,
-                                  keepdims=True).T           # [1, CHUNK]
+                # Weight-VALUED flag (r5): per-slot max composite weight
+                # over the tile's pixels. (x > 0) reductions downstream
+                # recover the original contributed BIT exactly (weights are
+                # non-negative); callers may instead threshold (temporal
+                # visibility culling, render/infer.py).
+                contrib = jnp.max(w_, axis=1, keepdims=True).T  # [1, CHUNK]
                 flag_blocks.append(jnp.concatenate(
                     [contrib, jnp.zeros((7, CHUNK), jnp.float32)], axis=0))
 
@@ -1082,8 +1172,9 @@ def _forward(data_sorted, tile_starts, tile_ends, rays, degree,
              min_transmittance, min_response, min_alpha, max_alpha,
              sorted_passes=0, has_t_max=True, aux_outputs=True,
              emit_flags=False, row_termination=False, census=False):
-    """With emit_flags, returns (out, flags_slot [capP] f32 0/1 per-slot
-    contributed bit); the flags leg has NO vjp (eval-only callers).
+    """With emit_flags, returns (out, flags_slot [capP] f32 per-slot max
+    composite weight, > 0 iff contributed); the flags leg has NO vjp
+    (eval-only callers).
     `census` swaps output row 7 to the lane-compaction sizing counters
     (probe-only; see _forward_kernel)."""
     num_tiles = rays.shape[0]

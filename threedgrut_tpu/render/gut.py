@@ -216,6 +216,7 @@ def render(
     aux_outputs: bool = True,
     low_precision_grads: bool = False,
     hit_visibility: bool = False,
+    visibility_threshold: float = 0.0,
     row_termination: bool = False,
     walk_capacity: int | None = None,
 ) -> Tuple[RenderOutputs, jnp.ndarray]:
@@ -241,6 +242,11 @@ def render(
     no VJP — differentiating through the outputs raises ValueError at trace
     time (training derives the same bit from nonzero gradients for free,
     trainer.py). Costs one extra per-slot write + a [cap] 2-op sort.
+    `visibility_threshold` (hit_visibility only) keeps a particle visible
+    only if some slot's max composite weight (alpha * T_before over the
+    tile's pixels) exceeds it — 0.0 is the exact contributed bit; the
+    temporal-culling inference path (render/infer.py) uses small positive
+    values to drop negligible contributors, trading bounded image error.
     `walk_capacity` (multiple of 256, < isect_capacity) enables the fused
     walked-window-compacted backward (ops/fused_raster.py): the dominant
     cotangent unsort runs over this many slots instead of the full capacity
@@ -330,6 +336,11 @@ def render(
     visibility = proj.valid & (proj.n_tiles > 0)
     if hit_visibility:
         cap = binning.sorted_particle_idx.shape[0]
+        # Binarize BEFORE the cumsum: integer-valued f32 sums stay exact
+        # (raw weight values would cancel at the running total's epsilon).
+        flags_slot = (flags_slot
+                      > jnp.float32(visibility_threshold)).astype(
+                          jnp.float32)
         _, flg = jax.lax.sort(
             (binning.sorted_particle_idx, flags_slot), num_keys=1)
         cum = jnp.cumsum(flg)

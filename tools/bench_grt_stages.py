@@ -135,6 +135,30 @@ def main(stages):
             return gs[..., :cand]
         timed("  L2 depth sort+slice", l2_sort, hit2, t_ax2, sup_idx)
 
+    if want("flatcull"):
+        # Flat-cull decomposition (r5): total, the L1+flatten+L2-test
+        # prefix, and the (m, capS) member-column sort vs the r5 pair-
+        # expansion sort (the difference total - prefix isolates each).
+        S_CAPF = int(os.environ.get("GRT_SCAPF", str(s_cap_env)))
+        SFLAT = os.environ.get("GRT_SFLAT")
+        SFLAT = int(SFLAT) if SFLAT else None
+        FLATC = int(os.environ.get("GRT_FLATC", str(nb * cand)))
+        valid_m = opa >= C.MIN_ALPHA
+
+        def fc(expand):
+            @jax.jit
+            def run(p, r):
+                return grt.bundle_candidates_twolevel_flat(
+                    p, r, valid_m, o, d, 256, cand,
+                    super_capacity=S_CAPF, super_flat_capacity=SFLAT,
+                    flat_capacity=FLATC, expand_sort=expand)
+            return run
+
+        out_e = timed("flat cull total (expand_sort)", fc(True), pos,
+                      radius)
+        print(f"    overflow={bool(out_e[4])}")
+        timed("flat cull total (column sort)", fc(False), pos, radius)
+
     @jax.jit
     def do_pack(p):
         return grt.pack_rows64(p, q, s, opa, feats)

@@ -113,3 +113,33 @@ for n, a, b in (("d_pos", gposf, r_tpu[3]), ("d_opa", gopaf, r_tpu[4])):
     print(f"fused {n}: max abs diff {diff:.3e} (rel {diff/scale_:.3e})")
     assert diff < 5e-4 * scale_ + 1e-5, f"fused {n}"
 print("fused walked-compaction leg matches the plain path: OK")
+
+
+# --- sorted (k-buffer) leg -------------------------------------------------
+# The per-ray odd-even re-sort (sorted_passes=16, with the r5 adaptive
+# convergence gate) on real TPU vs the CPU oracle path. The gate is exact
+# (two quiet passes == sorted), so tolerance is the same as the plain leg.
+def run_sorted(device):
+    tile_raster._should_interpret = (lambda: device.platform != "tpu")
+    args = [jax.device_put(jnp.asarray(x), device)
+            for x in (pos, quat, scale, opa, feats)]
+    cam = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), device), CAM)
+    pose = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), device),
+                        IDENTITY_POSE)
+    with jax.default_device(device):
+        out, _ = gut.render(*args, cam, pose, RES, 2048, sorted_passes=16)
+        def loss(pos, opa):
+            o, _ = gut.render(pos, args[1], args[2], opa, args[4], cam, pose,
+                              RES, 2048, sorted_passes=16)
+            return jnp.mean(o.rgb) + jnp.mean(o.opacity)
+        g = jax.grad(loss, argnums=(0, 1))(args[0], args[3])
+    return np.asarray(out.rgb), np.asarray(g[0]), np.asarray(g[1])
+
+rs_tpu = run_sorted(tpu)
+rs_cpu = run_sorted(cpu)
+for n, a, b in zip(["rgb", "d_pos", "d_opa"], rs_tpu, rs_cpu):
+    diff = np.abs(a - b).max()
+    scale_ = np.abs(b).max() + 1e-12
+    print(f"sorted {n}: max abs diff {diff:.3e} (rel {diff/scale_:.3e})")
+    assert diff < 5e-4 * scale_ + 1e-5, f"sorted {n}"
+print("sorted (adaptive k-buffer) leg matches CPU oracle: OK")

@@ -61,15 +61,19 @@ def main(argv=None):
 
     train_split = "train"
     val_split = "val" if cfg.dataset.type in ("colmap", "scannetpp") else "test"
+    ds_kw = dict(downsample_factor=cfg.dataset.downsample_factor,
+                 shutter_type=cfg.dataset.shutter_type)
+    if cfg.dataset.type == "synthetic":
+        r = cfg.dataset.synthetic_resolution
+        ds_kw = dict(num_views=cfg.dataset.synthetic_views,
+                     resolution=(r, r),
+                     num_gt_gaussians=cfg.dataset.synthetic_gt,
+                     multi_sensor=cfg.dataset.synthetic_multi_sensor)
     dataset = datasets.make(cfg.dataset.type, cfg.dataset.path,
-                            split=train_split,
-                            downsample_factor=cfg.dataset.downsample_factor,
-                            shutter_type=cfg.dataset.shutter_type)
+                            split=train_split, **ds_kw)
     try:
         val_dataset = datasets.make(
-            cfg.dataset.type, cfg.dataset.path, split=val_split,
-            downsample_factor=cfg.dataset.downsample_factor,
-            shutter_type=cfg.dataset.shutter_type)
+            cfg.dataset.type, cfg.dataset.path, split=val_split, **ds_kw)
         if len(val_dataset) == 0:
             val_dataset = None
     except FileNotFoundError:
