@@ -106,7 +106,14 @@ class SyntheticDataset:
         import jax
         # One jitted render per (camera-kind, shutter) pair, reused across
         # views (everything passed as arguments — eager/const-folded
-        # execution is unusably slow through remote-TPU tunnels).
+        # execution is unusably slow through remote-TPU tunnels). On TPU
+        # (and at production resolutions) the FAST renderer generates GT —
+        # same semantics as the oracle (tests pin the equivalence); the
+        # O(N*pixels) oracle stays the CPU/test default.
+        use_fast = (jax.default_backend() == "tpu"
+                    or resolution[0] * resolution[1] > 256 * 256)
+        gt_cap = max(1 << 16, min(1 << 22, 64 * num_gt_gaussians))
+        gt_cap = -(-gt_cap // 256) * 256
         render_fns = {}
 
         def gt_render(cam, shutter, T, T_end):
@@ -117,13 +124,22 @@ class SyntheticDataset:
                     p1 = pose_from_matrix(T_end)
                     pose = SensorPose(q_start=p0.q_start, t_start=p0.t_start,
                                       q_end=p1.q_start, t_end=p1.t_start)
-                    return gut_reference.render(
+                    if use_fast:
+                        from threedgrut_tpu.render import gut
+                        out, ovf = gut.render(
+                            *scene, cam, pose, resolution, gt_cap,
+                            shutter=ShutterType(shutter),
+                            sh_degree=sh_degree, aux_gradients=False)
+                        return out.rgb, ovf
+                    out = gut_reference.render(
                         *scene, cam, pose, resolution,
-                        shutter=ShutterType(shutter),
-                        sh_degree=sh_degree).rgb
+                        shutter=ShutterType(shutter), sh_degree=sh_degree)
+                    return out.rgb, jnp.bool_(False)
                 render_fns[k] = jax.jit(fn)
-            return render_fns[k](jnp.asarray(T), jnp.asarray(T_end), cam,
-                                 pos, quats, scales, opac, feats)
+            rgb, ovf = render_fns[k](jnp.asarray(T), jnp.asarray(T_end), cam,
+                                     pos, quats, scales, opac, feats)
+            assert not bool(ovf), "synthetic GT render overflowed gt_cap"
+            return rgb
 
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         vignette = ((xx - w / 2.0) ** 2 + (yy - h / 2.0) ** 2
