@@ -30,21 +30,31 @@ def main(argv=None):
 
     # The checkpoint carries the training config (reference render.py
     # restores conf from the checkpoint too) — CLI flags override it.
-    if args.dataset_type is None or args.path is None:
-        import os
-        cfg_path = os.path.splitext(args.checkpoint)[0] + ".json"
-        ds_cfg = {}
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                ds_cfg = json.load(f).get("dataset", {})
-        if args.dataset_type is None:
-            args.dataset_type = ds_cfg.get("type", "nerf")
-        if args.path is None:
-            args.path = ds_cfg.get("path") or None
+    import os
+    ds_cfg = {}
+    cfg_path = os.path.splitext(args.checkpoint)[0] + ".json"
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            ds_cfg = json.load(f).get("dataset", {})
+    if args.dataset_type is None:
+        args.dataset_type = ds_cfg.get("type", "nerf")
+    if args.path is None:
+        args.path = ds_cfg.get("path") or None
     if args.path is None and args.dataset_type != "synthetic":
         ap.error("--path required (checkpoint stores no dataset path)")
 
-    dataset = datasets.make(args.dataset_type, args.path, split=args.split)
+    ds_kw = {}
+    if args.dataset_type == "synthetic":
+        # Rebuild the exact procedural scene the checkpoint trained on
+        # (multi-sensor rig incl. fisheye/rolling-shutter/mask views).
+        r = ds_cfg.get("synthetic_resolution", 64)
+        ds_kw = dict(num_views=ds_cfg.get("synthetic_views", 12),
+                     resolution=(r, r),
+                     num_gt_gaussians=ds_cfg.get("synthetic_gt", 96),
+                     multi_sensor=ds_cfg.get("synthetic_multi_sensor",
+                                             False))
+    dataset = datasets.make(args.dataset_type, args.path, split=args.split,
+                            **ds_kw)
     renderer = Renderer.from_checkpoint(args.checkpoint, dataset)
     summary = renderer.render_all(out_dir=args.out_dir,
                                   save_gt=args.save_gt,
