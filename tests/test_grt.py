@@ -546,7 +546,11 @@ def test_flat_cull_matches_exact():
     o = jnp.asarray(np.concatenate(os_))
     d = jnp.asarray(np.concatenate(ds_))
 
-    kw = dict(candidate_capacity=96, super_capacity=64, order="bundle",
+    # super_capacity >= counts1 and candidate_capacity >= counts2: the
+    # bit-equality contract applies in the non-overflow regime (under
+    # FLAGGED overflow the three cull paths keep different-but-degraded
+    # subsets by design — top_k nearest, expansion lowest-id).
+    kw = dict(candidate_capacity=128, super_capacity=128, order="bundle",
               sorted_passes=8, flat_capacity=8192)
 
     def run(flat):
@@ -598,8 +602,8 @@ def test_flat_cull_compact_kernel_matches_sort_path():
 
     def run(kernel):
         return grt.bundle_candidates_twolevel_flat(
-            pos, radius, valid, o, d, 256, capacity=96, super_mult=16,
-            super_capacity=64, flat_capacity=8192, compact_kernel=kernel)
+            pos, radius, valid, o, d, 256, capacity=192, super_mult=16,
+            super_capacity=192, flat_capacity=8192, compact_kernel=kernel)
 
     fi0, v0, ws0, we0, ovf0, vis0 = run(False)
     fi1, v1, ws1, we1, ovf1, vis1 = run(True)

@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from threedgrut_tpu import constants as C
 from threedgrut_tpu.ops import particles as particle_ops
@@ -294,8 +295,10 @@ def bundle_candidates_twolevel(
     visibility = jnp.any(hit1, axis=0)
 
     # Level 2: each (permuted) bundle against its super's compacted list.
-    p_s = positions[sup_idx.reshape(-1)].reshape(ns, s_cap, 3)
-    r_s = radius[sup_idx.reshape(-1)].reshape(ns, s_cap)
+    # Position+radius in ONE gather (row-dispatch-bound, width-free).
+    pr = jnp.concatenate([positions, radius[:, None]], axis=-1)
+    pr_s = pr[sup_idx.reshape(-1)].reshape(ns, s_cap, 4)
+    p_s, r_s = pr_s[..., :3], pr_s[..., 3]
     ob = bundles.origin[perm].reshape(ns, super_mult, 3)
     db = bundles.direction[perm].reshape(ns, super_mult, 3)
     base = bundles.base_radius[perm].reshape(ns, super_mult)
@@ -395,9 +398,11 @@ def bundle_candidates_twolevel_packed(
     key1 = jax.lax.sort(key1, dimension=-1)
     sup_idx = key1[:, :s_cap] & 0xFFFFF                       # [ns, s_cap]
 
-    # Level 2 (identical MXU-form cone test to the exact path).
-    p_s = positions[sup_idx.reshape(-1)].reshape(ns, s_cap, 3)
-    r_s = radius[sup_idx.reshape(-1)].reshape(ns, s_cap)
+    # Level 2 (identical MXU-form cone test to the exact path); one
+    # position+radius gather as in the exact path.
+    pr = jnp.concatenate([positions, radius[:, None]], axis=-1)
+    pr_s = pr[sup_idx.reshape(-1)].reshape(ns, s_cap, 4)
+    p_s, r_s = pr_s[..., :3], pr_s[..., 3]
     ob = bundles.origin[perm].reshape(ns, super_mult, 3)
     db = bundles.direction[perm].reshape(ns, super_mult, 3)
     base = bundles.base_radius[perm].reshape(ns, super_mult)
@@ -570,6 +575,115 @@ def _blocked_cummax_f32(x, block: int = 256):
     carry = jnp.concatenate(
         [jnp.full_like(carry[:1], -jnp.inf), carry[:-1]], axis=0)
     return jnp.maximum(intra, carry[:, None]).reshape(m)
+
+
+def _super_lists_expand(hit1, counts1, s_cap, capS):
+    """Flat ID-ORDER super lists straight from the L1 hit mask — no top_k.
+
+    The depth-sorted super lists built by top_k + flatten_candidates cost
+    125.5 + 6.6 ms at 1M (the [64, 1M] k=217k top_k lowers to a full sort);
+    but downstream the super-list order is consumed ONLY as (a) the stable
+    tie-break of the final per-bundle (bundle, member-depth) sort and (b)
+    the keep-set under flagged per-bundle overflow. Building the lists in
+    particle-ID order instead needs just the expansion idiom: pack each
+    128-particle window's hit bits with ONE exact f32 matmul, forward-fill
+    window ownership over the flat slots (scatter + blocked cummax), ONE
+    [capS]-row gather of the 8-channel window attrs, and a two-half
+    select-nth-set-bit decode. Candidate SETS and per-bundle member-depth
+    ORDER are unchanged; only exact-f32-equal-depth ties resolve by
+    particle id instead of super-axis depth (the reference's radix keys
+    quantize depth far more coarsely than that).
+
+    Per-super truncation to `s_cap` (flagged upstream as overflow) keeps
+    the LOWEST-ID hits; the top_k path keeps the nearest-by-super-depth —
+    both degrade only under the flagged regime.
+
+    Returns (flat_sup [capS] i32, valid_s [capS] bool, sup_ws [ns],
+    sup_we [ns], overflow [], win_sup [capS/CHUNK] i32)."""
+    from threedgrut_tpu.ops.pallas import bundle_trace
+    from threedgrut_tpu.ops.pallas import expand as ex
+    from threedgrut_tpu.ops.sorted_gather import _blocked_cumsum
+
+    ch = bundle_trace.CHUNK
+    ns, n = hit1.shape
+    npad = -(-n // ch) * ch
+    if npad != n:
+        hit1 = jnp.pad(hit1, ((0, 0), (0, npad - n)))
+    wn = npad // ch
+    nw_tot = ns * wn
+    assert capS % ch == 0 and capS <= (1 << 24)
+    nws = capS // ch
+
+    # Pack per-window bits: [nw_tot, ch] x [ch, 7] exact f32 matmul
+    # (24/24/16-bit words per 64-bit half + a count column; all values
+    # < 2^24 so f32 sums are exact).
+    b = hit1.reshape(nw_tot, ch).astype(jnp.float32)
+    wt = np.zeros((ch, 7), np.float32)
+    for half in range(2):
+        for j in range(64):
+            word, bit = j // 24, j % 24
+            wt[half * 64 + j, half * 3 + word] = float(1 << bit)
+    wt[:, 6] = 1.0
+    words = jax.lax.dot_general(
+        b, jnp.asarray(wt), dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)               # [nw_tot, 7]
+    cnt_w = words[:, 6]
+
+    counts1_c = jnp.minimum(counts1, s_cap)
+    padded = (-(-counts1_c // ch) * ch).astype(jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    total = offs[-1] + padded[-1]
+    overflow = total > capS
+
+    # Flat start of each window's hits: offs[super] + hits before it within
+    # the super (global exclusive cumsum minus the super's base), clamped
+    # at the per-super s_cap truncation point.
+    gcum = _blocked_cumsum(cnt_w[:, None])[:, 0] - cnt_w   # exclusive
+    base_s = gcum.reshape(ns, wn)[:, 0]                    # [ns]
+    s_of_w = jnp.repeat(jnp.arange(ns, dtype=jnp.int32), wn)
+    excl_s = gcum - base_s[s_of_w]                         # hits before, in s
+    lim = counts1_c[s_of_w].astype(jnp.float32)
+    eff = jnp.clip(lim - excl_s, 0.0, cnt_w)               # kept this window
+    start_w = (offs[s_of_w].astype(jnp.float32)
+               + jnp.minimum(excl_s, lim))
+
+    attr = jnp.concatenate([words[:, :6], eff[:, None],
+                            start_w[:, None]], axis=-1)    # [nw_tot, 8]
+
+    pos = jnp.where(eff > 0, start_w.astype(jnp.int32), capS)
+    fill = jnp.zeros((capS,), jnp.float32).at[pos].set(
+        jnp.arange(nw_tot, dtype=jnp.float32) + 1.0, mode="drop")
+    owner = _blocked_cummax_f32(fill) - 1.0
+    own_c = jnp.clip(owner, 0, nw_tot - 1).astype(jnp.int32)
+
+    A = attr[own_c]                                        # [capS, 8]
+    slot = jnp.arange(capS, dtype=jnp.float32)
+    local = slot - A[:, 7]
+    valid_s = (owner >= 0) & (local < A[:, 6])
+    loc = jnp.clip(local, 0.0, float(ch - 1)).astype(jnp.int32)
+    w0, w1, w2 = (A[:, 0].astype(jnp.int32), A[:, 1].astype(jnp.int32),
+                  A[:, 2].astype(jnp.int32))
+    w3, w4, w5 = (A[:, 3].astype(jnp.int32), A[:, 4].astype(jnp.int32),
+                  A[:, 5].astype(jnp.int32))
+    c_half0 = (ex._popcount(w0) + ex._popcount(w1) + ex._popcount(w2))
+    hi = loc >= c_half0
+    sel0 = jnp.where(hi, w3, w0)
+    sel1 = jnp.where(hi, w4, w1)
+    sel2 = jnp.where(hi, w5, w2)
+    rank = jnp.where(hi, loc - c_half0, loc)
+    bit = ex.select_nth_set_bit(sel0, sel1, sel2, rank) \
+        + jnp.where(hi, 64, 0)
+    gid = (own_c % wn) * ch + bit
+    flat_sup = jnp.where(valid_s, jnp.minimum(gid, n - 1), 0)
+
+    sup_ws = jnp.minimum(offs // ch, nws).astype(jnp.int32)
+    sup_we = jnp.minimum((offs + padded) // ch, nws).astype(jnp.int32)
+    offw = jnp.clip(offs // ch, 0, nws - 1)
+    win_sup = jnp.maximum(jax.lax.cummax(
+        jnp.zeros((nws,), jnp.int32).at[offw].max(
+            jnp.arange(ns, dtype=jnp.int32) + 1)) - 1, 0)
+    return flat_sup, valid_s, sup_ws, sup_we, overflow, win_sup
 
 
 def _flat_pairs_expand_sort(flat_sup, hit2, t_ax, win_sup, sup_ws, cum0,
@@ -765,23 +879,35 @@ def bundle_candidates_twolevel_flat(
     counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
     overflow = jnp.any(counts1 > s_cap)
     visibility = jnp.any(hit1, axis=0)
-    key1 = jnp.where(hit1, -t_ax1, -jnp.inf)
-    _, sup_idx = jax.lax.top_k(key1, s_cap)                   # [ns, s_cap]
-    sup_idx = sup_idx.astype(jnp.int32)
+    if expand_sort and not compact_kernel:
+        # ID-order flat super lists straight from the hit mask (no top_k —
+        # 125.5 + 6.6 -> ~45 ms at 1M; see _super_lists_expand. Order is
+        # consumed only as the final sort's tie-break, so candidate sets
+        # and per-bundle member-depth order are unchanged).
+        (flat_sup, valid_s, sup_ws, sup_we, ovf_s,
+         win_sup) = _super_lists_expand(hit1, counts1, s_cap, capS)
+        overflow = overflow | ovf_s
+    else:
+        key1 = jnp.where(hit1, -t_ax1, -jnp.inf)
+        _, sup_idx = jax.lax.top_k(key1, s_cap)               # [ns, s_cap]
+        sup_idx = sup_idx.astype(jnp.int32)
 
-    # Flatten super lists (flatten_candidates reused verbatim: "bundles"
-    # here are supers). flat_sup holds particle ids depth-ascending per
-    # super; valid_s masks intra-segment padding.
-    (flat_sup, valid_s, sup_ws, sup_we, ovf_s,
-     win_sup) = flatten_candidates(sup_idx, counts1, capS)
-    overflow = overflow | ovf_s
+        # Flatten super lists (flatten_candidates reused verbatim:
+        # "bundles" here are supers). flat_sup holds particle ids
+        # depth-ascending per super; valid_s masks intra-segment padding.
+        (flat_sup, valid_s, sup_ws, sup_we, ovf_s,
+         win_sup) = flatten_candidates(sup_idx, counts1, capS)
+        overflow = overflow | ovf_s
     nws = capS // ch
 
     # L2 cone test per (flat slot, member) at window granularity: member
     # params are per-window row gathers ([nws] rows), the contractions are
-    # batched window einsums.
-    p_s = positions[flat_sup].reshape(nws, ch, 3)
-    r_s = jnp.where(valid_s, radius[flat_sup], -1e30).reshape(nws, ch)
+    # batched window einsums. Position+radius ride ONE 4-channel gather —
+    # gathers are row-dispatch-bound (width-free), so two same-index
+    # gathers cost double (~39 ms each at capS = 4.6M).
+    pr = jnp.concatenate([positions, radius[:, None]], axis=-1)[flat_sup]
+    p_s = pr[:, :3].reshape(nws, ch, 3)
+    r_s = jnp.where(valid_s, pr[:, 3], -1e30).reshape(nws, ch)
     ob = bundles.origin[perm].reshape(ns, m, 3)[win_sup]      # [nws, m, 3]
     db = bundles.direction[perm].reshape(ns, m, 3)[win_sup]
     base = bundles.base_radius[perm].reshape(ns, m)[win_sup]  # [nws, m]
