@@ -124,7 +124,9 @@ def _bin_particles_pallas(
         m1[:, None].astype(jnp.float32),                        # 11 mask 24:48
         m2[:, None].astype(jnp.float32),                        # 12 mask 48:64
     ], axis=-1)                                                 # [N, 13]
-    a_rank = attrs[ids_of_rank]                                 # [m, 13]
+    # Barrier: materialize before the gather so XLA row-dispatches instead
+    # of fusing the concat producers per-element (see grt.py r5 finding).
+    a_rank = jax.lax.optimization_barrier(attrs)[ids_of_rank]   # [m, 13]
     counts_rank = a_rank[:, 3].astype(jnp.int32)
     ends_rank = jnp.cumsum(counts_rank)
     starts_rank = (ends_rank - counts_rank).astype(jnp.float32)

@@ -657,7 +657,9 @@ def _super_lists_expand(hit1, counts1, s_cap, capS):
     owner = _blocked_cummax_f32(fill) - 1.0
     own_c = jnp.clip(owner, 0, nw_tot - 1).astype(jnp.int32)
 
-    A = attr[own_c]                                        # [capS, 8]
+    # Barrier = materialized row gather, not per-element fusion (see
+    # _flat_pairs_expand_sort).
+    A = jax.lax.optimization_barrier(attr)[own_c]          # [capS, 8]
     slot = jnp.arange(capS, dtype=jnp.float32)
     local = slot - A[:, 7]
     valid_s = (owner >= 0) & (local < A[:, 6])
@@ -743,21 +745,23 @@ def _flat_pairs_expand_sort(flat_sup, hit2, t_ax, win_sup, sup_ws, cum0,
                             (nws, ch, m)).reshape(capS, m)
     rank2 = ecum - base                                # position rank in (s,m)
 
-    # Expansion offsets (f32-exact) + the one packed attr row per slot.
+    # Expansion offsets (f32-exact) + the per-slot attrs, fetched per pair
+    # as THREE 2-channel gathers. Measured gather profile at these shapes
+    # (tools/probe_gather3, v5e): 2-ch rows hit a fast vectorized path
+    # (~21-26 ms at 3.4M indices, even from a 73M-row table) while 1-ch
+    # (~25-66), 5/8-ch (~64) and 16+-ch (~96-190) rows fall off it —
+    # width and TABLE SIZE both bite outside the 8-byte-row sweet spot.
     ends_pair = _blocked_cumsum(cnt[:, None])[:, 0]
     starts_pair = ends_pair - cnt
     overflow = overflow | (ends_pair[-1] > capF)
     sup_slot = jnp.broadcast_to(win_sup[:, None],
                                 (nws, ch)).reshape(capS).astype(jnp.float32)
-    attr = jnp.concatenate([
-        flat_sup.astype(jnp.float32)[:, None],         # 0 gid
-        sup_slot[:, None],                             # 1 super
-        bits.astype(jnp.float32)[:, None],             # 2 member mask
-        cnt[:, None],                                  # 3
-        starts_pair[:, None],                          # 4
-        t_ax.reshape(capS, m),                         # 5:5+m   member depth
-        rank2,                                         # 5+m:5+2m
-    ], axis=-1)                                        # [capS, 5+2m]
+    gs_tab = jnp.stack([flat_sup.astype(jnp.float32), sup_slot],
+                       axis=-1)                        # [capS, 2] gid, super
+    # start (< 2^22) and cnt (<= m) pack exactly into one int32 channel.
+    sc_tab = jnp.stack(
+        [starts_pair.astype(jnp.int32) * 32 + cnt.astype(jnp.int32),
+         bits], axis=-1)                               # [capS, 2] int32
 
     # Owning slot per pair: scatter (slot+1) at each live slot's first pair,
     # forward-fill with the blocked cummax (starts are strictly increasing
@@ -768,20 +772,23 @@ def _flat_pairs_expand_sort(flat_sup, hit2, t_ax, win_sup, sup_ws, cum0,
     owner = _blocked_cummax_f32(fill) - 1.0            # [capF]; -1 = no slot
     own_c = jnp.clip(owner, 0, capS - 1).astype(jnp.int32)
 
-    A = attr[own_c]                                    # [capF, 5+2m] gather
+    A1 = gs_tab[own_c]                                 # [capF, 2]
+    A2 = sc_tab[own_c]                                 # [capF, 2]
+    gid = A1[:, 0].astype(jnp.int32)
+    start_p = (A2[:, 0] // 32).astype(jnp.float32)
+    cnt_p = (A2[:, 0] % 32).astype(jnp.float32)
     e_idx = jnp.arange(capF, dtype=jnp.float32)
-    local = e_idx - A[:, 4]
-    pvalid = (owner >= 0) & (local < A[:, 3])
+    local = e_idx - start_p
+    pvalid = (owner >= 0) & (local < cnt_p)
     loc_i = jnp.clip(local, 0, m - 1).astype(jnp.int32)
-    member = ex.select_nth_set_bit(A[:, 2].astype(jnp.int32),
-                                   jnp.zeros_like(loc_i),
+    member = ex.select_nth_set_bit(A2[:, 1], jnp.zeros_like(loc_i),
                                    jnp.zeros_like(loc_i), loc_i)
-    onehot = (member[:, None]
-              == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    dep = jnp.sum(A[:, 5:5 + m] * onehot, axis=-1)
-    rk2 = jnp.sum(A[:, 5 + m:5 + 2 * m] * onehot, axis=-1)
-    o_key = member * ns + A[:, 1].astype(jnp.int32)
-    gid = A[:, 0].astype(jnp.int32)
+    dr_tab = jnp.stack([t_ax.reshape(capS * m), rank2.reshape(capS * m)],
+                       axis=-1)                        # [capS*m, 2]
+    A3 = dr_tab[own_c * m + member]
+    dep = A3[:, 0]
+    rk2 = A3[:, 1]
+    o_key = member * ns + A1[:, 1].astype(jnp.int32)
     # Per-bundle truncation (flagged overflow upstream): pairs past
     # `capacity` in super-list position drop to the tail so downstream
     # bundle offsets stay aligned.
