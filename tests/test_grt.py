@@ -703,3 +703,28 @@ def test_flat_cull_expand_sort_matches_sort_path():
     # Candidate ids must agree wherever valid (invalid rows are padding).
     v = np.asarray(v0)
     np.testing.assert_array_equal(np.asarray(fi1)[v], np.asarray(fi0)[v])
+
+
+def test_super_lists_expand_truncation_flags_overflow():
+    """Per-super s_cap truncation on the expansion path: overflow is
+    flagged, per-super keep counts clamp to s_cap (lowest-id hits kept),
+    and the flat layout stays aligned."""
+    rng = np.random.default_rng(41)
+    ns, n, s_cap, capS = 2, 96, 16, 256
+    hit1 = jnp.asarray(rng.random((ns, n)) < 0.5)
+    counts1 = jnp.sum(hit1.astype(jnp.int32), axis=1)
+    assert int(jnp.max(counts1)) > s_cap
+    fs, vs, ws, we, ovf, wsu = grt._super_lists_expand(hit1, counts1,
+                                                       s_cap, capS)
+    # total fits capS here, so the capS overflow flag stays False; the
+    # CALLER flags counts1 > s_cap (bundle_candidates_twolevel_flat does).
+    fs, vs = np.asarray(fs), np.asarray(vs)
+    ws, we = np.asarray(ws), np.asarray(we)
+    h = np.asarray(hit1)
+    for s in range(ns):
+        seg = fs[ws[s] * 128:we[s] * 128]
+        segv = vs[ws[s] * 128:we[s] * 128]
+        kept = seg[segv]
+        assert len(kept) == s_cap
+        expected = np.nonzero(h[s])[0][:s_cap]
+        np.testing.assert_array_equal(kept, expected)
