@@ -534,3 +534,38 @@ def test_glb_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(mats.base_color)[0],
                                [0.9, 0.2, 0.1], atol=1e-6)
     np.testing.assert_allclose(float(np.asarray(mats.metallic)[0]), 0.3)
+
+
+def test_web_viewer_raster_mode(tmp_path):
+    """Mode 'raster' routes frames through the frame-coherent inference
+    path (refresh + compacted frames, render/infer.py): repeated nearby
+    requests reuse the compact cache; a large camera jump re-refreshes;
+    depth channel works (aux outputs)."""
+    import urllib.request
+    from threedgrut_tpu.playground.web_viewer import WebViewer
+    pos, quat, scale, opa, feats = random_scene(n=24, seed=9, z=0.0)
+    e = eng_mod.Engine(pos, quat, scale, opa, feats,
+                       config=eng_mod.EngineConfig(max_bounces=1,
+                                                   candidate_capacity=24))
+    viewer = WebViewer(e, resolution=(32, 32))
+    viewer.mode = "raster"
+    f0 = viewer.render_frame(0.5, 0.3, 3.0)
+    assert viewer._raster_cache is not None and np.isfinite(f0).all()
+    assert viewer._raster_cache["frames"] == 0          # refresh frame
+    f1 = viewer.render_frame(0.52, 0.3, 3.0)            # small move: cached
+    assert viewer._raster_cache["frames"] == 1
+    np.testing.assert_allclose(f1.mean(), f0.mean(), atol=0.05)
+    viewer.render_frame(1.8, 0.3, 3.0)                  # big jump: refresh
+    assert viewer._raster_cache["frames"] == 0
+    viewer.channel = "depth"
+    d = viewer.render_frame(1.8, 0.3, 3.0)
+    assert np.isfinite(d).all()
+    # And through the HTTP surface.
+    server = viewer.serve(port=18327, blocking=False)
+    try:
+        img = urllib.request.urlopen(
+            "http://127.0.0.1:18327/render?yaw=0.5&pitch=0.3&radius=3",
+            timeout=120).read()
+        assert img[:2] == b"\xff\xd8"
+    finally:
+        server.shutdown()

@@ -84,7 +84,7 @@ function buildPanel(){
   h+=`<label>Channel <select onchange="cfg('channel',this.value)">`+
      ['color','density','depth'].map(x=>`<option ${S.channel==x?'selected':''}>${x}</option>`).join('')+'</select></label>';
   h+=`<label>Mode <select onchange="cfg('mode',this.value)">`+
-     ['trace','hybrid'].map(x=>`<option ${S.mode==x?'selected':''}>${x}</option>`).join('')+'</select></label>';
+     ['trace','hybrid','raster'].map(x=>`<option ${S.mode==x?'selected':''}>${x}</option>`).join('')+'</select></label>';
   h+=`<label>Camera <select onchange="cfg('camera',this.value)">`+
      ['pinhole','fisheye'].map(x=>`<option ${S.camera==x?'selected':''}>${x}</option>`).join('')+'</select></label>';
   h+=slider('FOV°',S.fov_deg,20,120,1,'v=>cfg(\\'fov_deg\\',+v)');
@@ -195,6 +195,33 @@ _PRESETS = {
 }
 
 
+def _raster_jits():
+    """Jitted helpers for the raster fast-preview mode, created once
+    (jax.jit caches per-wrapper; re-wrapping per frame would recompile)."""
+    global _RASTER_JITS
+    if _RASTER_JITS is None:
+        import jax
+        from threedgrut_tpu.cameras import pose_from_matrix
+        from threedgrut_tpu.render import infer
+
+        def _refresh(P, cam, T, res, cap, n_c):
+            return infer.refresh(*P, cam, pose_from_matrix(T), res, cap,
+                                 n_c, sh_degree=3, T_to_world=T,
+                                 visibility_threshold=1.0 / 255.0)
+
+        def _compact(scene, cam, T, res, cap_c, aux):
+            return infer.render_compact(scene, cam, pose_from_matrix(T),
+                                        res, cap_c, sh_degree=3,
+                                        T_to_world=T, aux_outputs=aux)
+
+        _RASTER_JITS = (jax.jit(_refresh, static_argnums=(3, 4, 5)),
+                        jax.jit(_compact, static_argnums=(3, 4, 5)))
+    return _RASTER_JITS
+
+
+_RASTER_JITS = None
+
+
 class WebViewer:
     def __init__(self, engine, resolution: Tuple[int, int] = (400, 400),
                  target=(0.0, 0.0, 0.0), fov_deg: float = 60.0,
@@ -217,6 +244,8 @@ class WebViewer:
         self.video_path = video_path
         self.video_status = ""
         self._lock = threading.Lock()
+        self._raster_cache = None   # CompactScene + refresh key (raster mode)
+        self._raster_caps = None    # [isect_cap, n_compact, compact_cap]
         self._sync_scene()
 
     # -- scene edits feed the engine's stacked buffers ----------------------
@@ -256,9 +285,12 @@ class WebViewer:
                      radius: float) -> np.ndarray:
         T = self._pose(yaw, pitch, radius)
         with self._lock:
-            fn = (self.engine.render_hybrid_jit if self.mode == "hybrid"
-                  else self.engine.render)
-            out = fn(self._camera(), T, self.resolution)
+            if self.mode == "raster":
+                out = self._render_raster(yaw, pitch, radius, T)
+            else:
+                fn = (self.engine.render_hybrid_jit
+                      if self.mode == "hybrid" else self.engine.render)
+                out = fn(self._camera(), T, self.resolution)
         if self.channel == "density":
             op = np.asarray(out["opacity"])
             return np.repeat(np.clip(op, 0, 1)[..., None], 3, -1)
@@ -268,6 +300,61 @@ class WebViewer:
             inv = np.where(d > 1e-6, 1.0 / np.maximum(d, 1e-6), 0.0)
             return jet_colormap(inv / max(1e-6, float(inv.max())))
         return np.clip(np.asarray(out["rgb"]), 0.0, 1.0)
+
+    # -- raster fast-preview (frame-coherent inference) ---------------------
+    def _render_raster(self, yaw, pitch, radius, T):
+        """Mode 'raster': pure-Gaussians rasterized preview through the
+        frame-coherent inference path (render/infer.py) — a REFRESH frame
+        (exact + contributed-weight census + compaction) whenever the
+        camera moved > ~7 deg or every 8 frames; compacted frames between.
+        The interactive analogue of the reference's BVH refit
+        amortization. Meshes are ignored (use trace/hybrid for those).
+        Capacities grow-and-retrace on overflow like the trainer's."""
+        P = self.engine.gaussians
+        n = int(P[0].shape[0])
+        if self._raster_caps is None:
+            cap = min(1 << 22, max(1 << 16, -(-48 * n // 256) * 256))
+            n_c = min(n, max(256, -(-(n // 2) // 256) * 256))
+            self._raster_caps = [cap, n_c, -(-(cap // 2) // 256) * 256]
+        cam = self._camera()
+        aux = self.channel in ("density", "depth")
+        key = (yaw, pitch, radius)
+        refresh_jit, compact_jit = _raster_jits()
+
+        def angdelta(a, b):
+            return (abs(a[0] - b[0]) + abs(a[1] - b[1])
+                    + abs(a[2] - b[2]) / max(b[2], 1e-3))
+
+        out = None
+        for _ in range(4):
+            cap, n_c, cap_c = self._raster_caps
+            cache = self._raster_cache
+            need = (cache is None or cache["frames"] >= 8
+                    or angdelta(key, cache["key"]) > 0.12)
+            if need:
+                out, ovf, scene = refresh_jit(P, cam, T, self.resolution,
+                                              cap, n_c)
+                if bool(ovf):
+                    self._raster_caps[0] = min(cap * 2, 1 << 23)
+                    self._raster_caps[2] = min(cap_c * 2, 1 << 23)
+                    self._raster_cache = None
+                    continue
+                if bool(scene.overflow):
+                    self._raster_caps[1] = min(n, n_c * 2)
+                    self._raster_cache = None
+                    continue
+                self._raster_cache = dict(scene=scene, key=key, frames=0)
+            else:
+                scene = cache["scene"]
+                out, covf = compact_jit(scene, cam, T, self.resolution,
+                                        cap_c, aux)
+                if bool(covf):
+                    self._raster_caps[2] = min(cap_c * 2, 1 << 23)
+                    continue
+                cache["frames"] += 1
+                cache["key"] = key
+            break
+        return dict(rgb=out.rgb, opacity=out.opacity, depth=out.depth)
 
     def _encode_jpeg(self, rgb: np.ndarray) -> bytes:
         from PIL import Image

@@ -142,15 +142,19 @@ def render_compact(scene: CompactScene, cam: Camera, pose: SensorPose,
                    resolution, isect_capacity: int,
                    shutter: ShutterType = ShutterType.GLOBAL,
                    sh_degree: int = 3, sorted_passes: int = 0,
-                   T_to_world=None) -> Tuple[RenderOutputs, jnp.ndarray]:
+                   T_to_world=None,
+                   aux_outputs: bool = False
+                   ) -> Tuple[RenderOutputs, jnp.ndarray]:
     """Mode 'compact': full per-frame pipeline over the compacted scene
     (exact for the visible set; error only from particles that became
-    visible since the refresh)."""
+    visible since the refresh). `aux_outputs=True` keeps the depth /
+    hit-count channels (viewer depth/density panels)."""
     return gut.render(
         scene.positions, scene.quats, scene.scales, scene.opacities,
         scene.features, cam, pose, resolution, isect_capacity,
         shutter=shutter, sh_degree=sh_degree, sorted_passes=sorted_passes,
-        T_to_world=T_to_world, aux_gradients=False, aux_outputs=False)
+        T_to_world=T_to_world, aux_gradients=False,
+        aux_outputs=aux_outputs)
 
 
 def render_frozen(scene: CompactScene, frozen: FrozenBinning, cam: Camera,
